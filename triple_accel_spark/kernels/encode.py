@@ -1,0 +1,67 @@
+"""Vectorized byte-string batch encoding.
+
+Turns a batch of Python byte strings (or UTF-8 str) into a zero-padded
+``(batch, max_len) uint8`` matrix plus a length vector, with a single
+``b"".join`` as the only per-row Python work. All kernels consume this
+layout and vectorize *across the batch* (the reference vectorizes within
+one pair via SIMD registers; we vectorize across pairs via NumPy —
+SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def to_bytes_list(rows: Sequence) -> tuple[list[bytes], np.ndarray]:
+    """Normalize a column batch to a list of ``bytes`` plus a validity
+    mask. ``None``/NaN rows become ``b""`` with ``valid=False``; str
+    rows are UTF-8 encoded (Spark StringType is UTF-8; byte semantics —
+    reference scores raw u8 bytes, lib.rs:41-44)."""
+    out: list[bytes] = []
+    valid = np.ones(len(rows), dtype=bool)
+    for i, r in enumerate(rows):
+        if r is None:
+            out.append(b"")
+            valid[i] = False
+        elif isinstance(r, bytes):
+            out.append(r)
+        elif isinstance(r, bytearray):
+            out.append(bytes(r))
+        elif isinstance(r, str):
+            out.append(r.encode("utf-8"))
+        else:
+            # pandas NaN or other nulls
+            try:
+                if r != r:  # NaN
+                    out.append(b"")
+                    valid[i] = False
+                    continue
+            except Exception:
+                pass
+            out.append(str(r).encode("utf-8"))
+    return out, valid
+
+
+def encode_batch(rows: Sequence) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode a batch into ``(mat, lengths, valid)``.
+
+    ``mat`` is ``(n, max_len) uint8`` zero-padded; ``lengths`` is int64;
+    ``valid`` is a bool mask (False for null inputs, which encode as
+    empty strings).
+    """
+    blist, valid = to_bytes_list(rows)
+    n = len(blist)
+    lengths = np.fromiter((len(b) for b in blist), dtype=np.int64, count=n)
+    max_len = int(lengths.max()) if n else 0
+    mat = np.zeros((n, max(max_len, 1)), dtype=np.uint8)
+    if n == 0 or max_len == 0:
+        return mat, lengths, valid
+    flat = np.frombuffer(b"".join(blist), dtype=np.uint8)
+    row_idx = np.repeat(np.arange(n), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    col_idx = np.arange(lengths.sum()) - np.repeat(starts, lengths)
+    mat[row_idx, col_idx] = flat
+    return mat, lengths, valid

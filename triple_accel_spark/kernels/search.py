@@ -1,0 +1,236 @@
+"""Batch semi-global alignment search (fuzzy needle-in-haystack).
+
+Semantics: the reference's ``levenshtein_search_*_with_opts`` family
+(/root/reference/src/levenshtein.rs:1589-1838,1911-2451): Sellers-style
+semi-global DP (free prefix shift unless anchored), a parallel
+match-length matrix for longest-match tie-breaking (including the
+reference's exact — and quirky — equal-cost comparisons), ``all`` /
+``best`` modes with the tightening running threshold, the Best-mode
+full-overlap replacement rule, and the empty-needle / anchored special
+cases. Default ``k = ceil(len(needle)/2)``.
+
+Vectorization: one DP step per (haystack position i, needle position j)
+pair is required because both the cost *and the length tie-break* of
+the in-row haystack-gap chain depend on the finalized previous cell.
+Everything without an in-row dependency (substitution, needle-gap) is
+computed as whole-row NumPy ops; the j loop runs over the needle only.
+Cost model: O(len(needle)) Python iterations per haystack char,
+vectorized across the batch — intended for short needles against long
+haystacks (the reference benches needles at 1/10 of haystack length,
+benches/rand_benchmarks.rs:39-43).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
+from triple_accel_spark.kernels.encode import encode_batch
+
+INF = np.int64(1) << np.int64(40)
+
+
+def lev_search_batch(
+    needle_rows: Sequence,
+    haystack_rows: Sequence,
+    k: int | None = None,
+    search_type: str = "best",
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    anchored: bool = False,
+) -> list[list[tuple[int, int, int]] | None]:
+    """Fuzzy search per row: returns per row a list of
+    ``(start, end, k)`` matches (or None for null inputs)."""
+    costs.check_search()
+    nd_mat, nd_len, nd_ok = encode_batch(needle_rows)
+    hs_mat, hs_len, hs_ok = encode_batch(haystack_rows)
+    n = nd_mat.shape[0]
+    valid = nd_ok & hs_ok
+    if n == 0:
+        return []
+
+    mis = np.int64(costs.mismatch_cost)
+    gap = np.int64(costs.gap_cost)
+    sg = np.int64(costs.start_gap_cost)
+    tc = np.int64(costs.transpose_cost or 0)
+    allow_t = costs.allow_transpose
+
+    k_arr = (
+        ((nd_len >> 1) + (nd_len & 1)).astype(np.int64)
+        if k is None
+        else np.full(n, k, dtype=np.int64)
+    )
+
+    m_max = int(nd_len.max())
+    w = m_max + 1
+    jj = np.arange(w, dtype=np.int64)
+
+    # per-row haystack iteration bound (levenshtein.rs:1650-1661)
+    if anchored:
+        iter_len = np.minimum(
+            hs_len, nd_len + np.maximum(k_arr - sg, 0) // gap
+        )
+    else:
+        iter_len = hs_len.copy()
+    # rows with empty needles are special-cased at the end
+    nonempty = nd_len > 0
+    iter_len = np.where(nonempty & valid, iter_len, 0)
+    n_max = int(iter_len.max()) if n else 0
+
+    dp0 = np.zeros((n, w), dtype=np.int64)
+    dp1 = jj[None, :] * gap + np.where(jj[None, :] > 0, sg, 0)
+    dp1 = np.broadcast_to(dp1, (n, w)).copy()
+    dp2 = np.zeros((n, w), dtype=np.int64)
+    ng_dp = np.full((n, w), INF, dtype=np.int64)
+    hg_dp = np.full((n, w), INF, dtype=np.int64)
+    len0 = np.zeros((n, w), dtype=np.int64)
+    len1 = np.zeros((n, w), dtype=np.int64)
+    len2 = np.zeros((n, w), dtype=np.int64)
+    ng_len = np.zeros((n, w), dtype=np.int64)
+    hg_len = np.zeros((n, w), dtype=np.int64)
+
+    rows = np.arange(n)
+    curr_k = k_arr.copy()
+    best = search_type == "best"
+    hits: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+
+    # initial row: the fully-gapped needle at position 0
+    init_cost = dp1[rows, nd_len]
+    emit = nonempty & valid & (init_cost <= curr_k)
+    if best:
+        curr_k = np.where(emit, init_cost, curr_k)
+    for r in np.nonzero(emit)[0]:
+        hits[r].append((0, 0, int(init_cost[r])))
+
+    for i in range(n_max):
+        active = i < iter_len
+        if not active.any():
+            break
+        hc = hs_mat[:, i][:, None] if i < hs_mat.shape[1] else np.zeros((n, 1), np.uint8)
+        boundary = (
+            np.int64(i + 1) * gap + sg if anchored else np.int64(0)
+        )
+        ng_dp[:, 0] = boundary
+        dp2[:, 0] = boundary
+        ng_len[:, 0] = 0
+        len2[:, 0] = 0
+
+        # vectorized over j: substitution and needle-gap (no in-row dep)
+        sub_all = np.empty((n, w), dtype=np.int64)
+        sub_all[:, 0] = INF
+        sub_all[:, 1:] = dp1[:, :-1] + (nd_mat != hc).astype(np.int64) * mis
+
+        new_gap = dp1 + sg + gap
+        cont_gap = np.minimum(ng_dp + gap, INF)
+        lt = new_gap < cont_gap
+        gt = new_gap > cont_gap
+        ng_len_new = np.where(
+            lt, len1 + 1, np.where(gt, ng_len + 1, np.maximum(len1, ng_len) + 1)
+        )
+        ng_dp_new = np.minimum(new_gap, cont_gap)
+        ng_dp[:, 1:] = ng_dp_new[:, 1:]
+        ng_len[:, 1:] = ng_len_new[:, 1:]
+
+        trans_all = None
+        if allow_t and i > 0:
+            hc_prev = hs_mat[:, i - 1][:, None]
+            cond = np.zeros((n, w), dtype=bool)
+            cond[:, 2:] = (nd_mat[:, 1:] == hc_prev) & (nd_mat[:, :-1] == hc)
+            trans_all = np.where(cond, np.roll(dp0, 2, axis=1) + tc, INF)
+            trans_len = np.roll(len0, 2, axis=1) + 2
+
+        # in-row chain over the needle, vectorized across the batch
+        for j in range(1, w):
+            new_g = dp2[:, j - 1] + sg + gap
+            cont_g = np.minimum(hg_dp[:, j - 1] + gap, INF)
+            lt = new_g < cont_g
+            gt = new_g > cont_g
+            hg_len[:, j] = np.where(
+                lt,
+                len2[:, j - 1],
+                np.where(gt, hg_len[:, j - 1],
+                         np.maximum(len2[:, j - 1], hg_len[:, j - 1])),
+            )
+            hg_dp[:, j] = np.minimum(new_g, cont_g)
+
+            d = ng_dp[:, j].copy()
+            ln = ng_len[:, j].copy()
+            # reference quirk: the equal-cost comparison uses
+            # len2[j-1], not hg_len[j] (levenshtein.rs:1755-1760)
+            repl = (hg_dp[:, j] < d) | ((hg_dp[:, j] == d) & (len2[:, j - 1] > ln))
+            d = np.where(repl, hg_dp[:, j], d)
+            ln = np.where(repl, hg_len[:, j], ln)
+
+            sub = sub_all[:, j]
+            sub_len = len1[:, j - 1] + 1
+            repl = (sub < d) | ((sub == d) & (sub_len > ln))
+            d = np.where(repl, sub, d)
+            ln = np.where(repl, sub_len, ln)
+
+            if trans_all is not None and j > 1:
+                tr = trans_all[:, j]
+                repl = tr <= d
+                d = np.where(repl, tr, d)
+                ln = np.where(repl, trans_len[:, j], ln)
+
+            dp2[:, j] = d
+            len2[:, j] = ln
+
+        final_res = dp2[rows, nd_len]
+        final_len = len2[rows, nd_len]
+
+        act2 = active[:, None]
+        dp0 = np.where(act2, dp1, dp0)
+        dp1 = np.where(act2, dp2, dp1)
+        len0 = np.where(act2, len1, len0)
+        len1 = np.where(act2, len2, len1)
+
+        emit = active & (final_res <= curr_k)
+        if best:
+            curr_k = np.where(emit, final_res, curr_k)
+        for r in np.nonzero(emit)[0]:
+            hits[r].append(
+                (int(i + 1 - final_len[r]), i + 1, int(final_res[r]))
+            )
+
+    out: list[list[tuple[int, int, int]] | None] = []
+    for r in range(n):
+        if not valid[r]:
+            out.append(None)
+            continue
+        if nd_len[r] == 0:
+            out.append(
+                _empty_needle(int(hs_len[r]), int(k_arr[r]), search_type,
+                              costs, anchored)
+            )
+            continue
+        ms = hits[r]
+        if best:
+            merged: list[tuple[int, int, int]] = []
+            for m in ms:
+                if merged and m[0] <= merged[-1][0]:
+                    merged[-1] = m
+                else:
+                    merged.append(m)
+            ck = int(curr_k[r])
+            ms = [m for m in merged if m[2] == ck]
+        out.append(ms)
+    return out
+
+
+def _empty_needle(
+    hs_len: int, k: int, search_type: str, costs: EditCosts, anchored: bool
+) -> list[tuple[int, int, int]]:
+    """Empty-needle semantics (levenshtein.rs:1600-1644)."""
+    if not anchored:
+        return []
+    if search_type == "best":
+        return [(0, 0, 0)]
+    out = [(0, 0, 0)]
+    cost = costs.start_gap_cost
+    for i in range(1, hs_len + 1):
+        cost += costs.gap_cost
+        if cost <= k:
+            out.append((0, i, cost))
+    return out
