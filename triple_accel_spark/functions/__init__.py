@@ -1,0 +1,204 @@
+"""Column functions: Arrow-batched pandas UDFs wrapping the NumPy kernels.
+
+Every function here returns a pyspark ``Column`` backed by a scalar
+pandas UDF (Series -> Series, Arrow transfer) — whole candidate-pair
+partitions are scored vectorized with no per-row Python (north-star
+requirement). Cost/threshold parameters are captured as plain Python
+scalars in the UDF closure (tiny pickles), never as columns.
+
+Operator parity map (SURVEY.md §2):
+  D1-D5   hamming()                    — one NumPy kernel subsumes the
+                                         naive/words/SIMD variants
+  D6      F.levenshtein or edit_distance() (unit costs, Myers)
+  D7/D13  edit_distance()              — exact distance; exponential
+                                         k-search is an execution detail
+  D8      edit_distance(k=...)         — NULL when distance > k
+  D9-D11  edit_distance(costs=...), edit_traceback()
+  D12     rdamerau()                   — OSA transpositions
+  S1-S3   hamming_search()
+  S4-S6   edit_search()
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from triple_accel_spark.kernels.banded import lev_batch
+from triple_accel_spark.kernels.costs import (
+    EditCosts,
+    LEVENSHTEIN_COSTS,
+    RDAMERAU_COSTS,
+)
+from triple_accel_spark.kernels.hamming import hamming_batch, hamming_search_batch
+from triple_accel_spark.kernels.myers import myers_batch
+from triple_accel_spark.kernels.search import lev_search_batch
+
+# chunk sizes keep per-chunk NumPy DP matrices comfortably in worker
+# memory regardless of Arrow batch size
+_CHUNK = 4096
+_CHUNK_TRACE = 256
+
+MATCH_SCHEMA = "array<struct<start:int,end:int,k:int>>"
+TRACE_SCHEMA = "array<struct<edit:string,count:int>>"
+
+
+def _sorted_chunks(n: int, order_key: np.ndarray, chunk: int):
+    """Yield index arrays: length-sorted chunks (so each kernel call
+    loops only to its own chunk's max length), restoring original order
+    via the returned indices."""
+    order = np.argsort(order_key, kind="stable")
+    for i in range(0, n, chunk):
+        yield order[i : i + chunk]
+
+
+def _lengths(s: pd.Series) -> np.ndarray:
+    return np.fromiter(
+        (len(x) if isinstance(x, (str, bytes)) else 0 for x in s),
+        dtype=np.int64,
+        count=len(s),
+    )
+
+
+def _dist_series(a: pd.Series, b: pd.Series, k, costs: EditCosts) -> pd.Series:
+    n = len(a)
+    out = np.full(n, np.nan)
+    key = np.maximum(_lengths(a), _lengths(b))
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for idx in _sorted_chunks(n, key, _CHUNK):
+        ca, cb = av[idx], bv[idx]
+        if costs.is_unit:
+            d, ok = myers_batch(ca, cb, k)
+        else:
+            d, ok, _ = lev_batch(ca, cb, k, costs)
+        vals = np.where(ok, d.astype(float), np.nan)
+        out[idx] = vals
+    return pd.Series(out)
+
+
+def edit_distance(
+    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS
+) -> Column:
+    """Generalized edit distance column; NULL where distance > ``k`` or
+    an input is NULL. Unit costs dispatch to the Myers bit-parallel
+    kernel; any other cost model uses the generalized DP kernel."""
+
+    @pandas_udf("int")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return _dist_series(sa, sb, k, costs)
+
+    return _udf(a, b)
+
+
+def rdamerau(a, b, k: int | None = None) -> Column:
+    """Restricted Damerau-Levenshtein (OSA) distance
+    (reference levenshtein.rs:1419-1423)."""
+    return edit_distance(a, b, k, RDAMERAU_COSTS)
+
+
+def hamming(a, b) -> Column:
+    """Hamming distance; NULL for unequal lengths (the reference
+    panics — reference hamming.rs:38)."""
+
+    @pandas_udf("int")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        d, ok = hamming_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
+        return pd.Series(np.where(ok, d.astype(float), np.nan))
+
+    return _udf(a, b)
+
+
+def edit_traceback(a, b, costs: EditCosts = LEVENSHTEIN_COSTS) -> Column:
+    """Run-length-encoded edit script as array<struct<edit,count>>
+    (reference Edit/EditType, lib.rs:147-165)."""
+
+    @pandas_udf(TRACE_SCHEMA)
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        n = len(sa)
+        out = [None] * n
+        key = np.maximum(_lengths(sa), _lengths(sb))
+        av, bv = sa.to_numpy(dtype=object), sb.to_numpy(dtype=object)
+        for idx in _sorted_chunks(n, key, _CHUNK_TRACE):
+            _, ok, traces = lev_batch(av[idx], bv[idx], None, costs, trace=True)
+            for pos, i in enumerate(idx):
+                if ok[pos] and traces[pos] is not None:
+                    out[i] = [
+                        {"edit": e, "count": c} for e, c in traces[pos]
+                    ]
+        return pd.Series(out)
+
+    return _udf(a, b)
+
+
+def edit_search(
+    needle,
+    haystack,
+    k: int | None = None,
+    search_type: str = "best",
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    anchored: bool = False,
+) -> Column:
+    """Fuzzy substring search: array of {start, end, k} matches
+    (reference levenshtein_search family)."""
+
+    @pandas_udf(MATCH_SCHEMA)
+    def _udf(sn: pd.Series, sh: pd.Series) -> pd.Series:
+        n = len(sn)
+        out = [None] * n
+        key = _lengths(sh)
+        nv, hv = sn.to_numpy(dtype=object), sh.to_numpy(dtype=object)
+        for idx in _sorted_chunks(n, key, _CHUNK):
+            res = lev_search_batch(nv[idx], hv[idx], k, search_type, costs, anchored)
+            for pos, i in enumerate(idx):
+                if res[pos] is not None:
+                    out[i] = [
+                        {"start": s, "end": e, "k": kk} for s, e, kk in res[pos]
+                    ]
+        return pd.Series(out)
+
+    return _udf(needle, haystack)
+
+
+def hamming_search(
+    needle, haystack, k: int | None = None, search_type: str = "best"
+) -> Column:
+    """Sliding-window Hamming search: array of {start, end, k}
+    (reference hamming_search family)."""
+
+    @pandas_udf(MATCH_SCHEMA)
+    def _udf(sn: pd.Series, sh: pd.Series) -> pd.Series:
+        res = hamming_search_batch(
+            sn.to_numpy(dtype=object), sh.to_numpy(dtype=object), k, search_type
+        )
+        return pd.Series(
+            [
+                None
+                if r is None
+                else [{"start": s, "end": e, "k": kk} for s, e, kk in r]
+                for r in res
+            ]
+        )
+
+    return _udf(needle, haystack)
+
+
+def normalized_similarity(
+    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS
+) -> Column:
+    """``1 - dist / greatest(len(a), len(b))`` in [0, 1]; NULL when the
+    k-cutoff pruned the pair. The division happens JVM-side."""
+    d = edit_distance(a, b, k, costs)
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    return (F.lit(1.0) - d.cast("double") / denom.cast("double")).alias("sim")
+
+
+def length_prefilter(a, b, k: int, costs: EditCosts = LEVENSHTEIN_COSTS) -> Column:
+    """Catalyst-native k-cutoff prune: pairs whose length difference
+    alone exceeds the band can never be within k
+    (reference levenshtein.rs:428-430). Apply BEFORE the scoring UDF so
+    the predicate pushes down and the Python exchange shrinks."""
+    unit_k = max(k - costs.start_gap_cost, 0) // costs.gap_cost
+    return F.abs(F.length(a) - F.length(b)) <= F.lit(unit_k)
