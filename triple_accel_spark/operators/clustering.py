@@ -1,0 +1,169 @@
+"""Transitive clustering: connected components over the match-edge
+graph, via alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond" — the standard
+shuffle-bounded CC for web-scale graphs; converges in O(log^2 n) rounds
+vs O(diameter) for plain label propagation).
+
+Each round is two aggregation+join passes expressed purely in
+DataFrame ops (no collect_list — hot nodes stay scalable because the
+per-node minimum is an aggregation, not a materialized neighbor list).
+
+Checkpoint/resume: every iteration writes the current edge set to
+``{checkpoint_dir}/iter_NNNN`` plus a ``manifest.json``; a restarted
+job resumes from the highest committed iteration (north-rule
+requirement: resumable from checkpoint). Parquet round-trips also cut
+lineage so plans don't grow across iterations. Per-iteration metric
+rows (edge counts, checksum, converged flag) append to
+``{checkpoint_dir}/metrics``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's neighborhood
+    minimum (including u itself)."""
+    bid = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bid.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.withColumn("m", F.least(F.col("mv"), F.col("u"))).drop("mv")
+    return (
+        bid.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, point everything
+    at the minimum."""
+    dir_e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = dir_e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        dir_e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold is order-insensitive and cannot overflow (edges are
+        # distinct after _small_star, so xor cancellation is safe)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _manifest_path(d: str) -> str:
+    return os.path.join(d, "manifest.json")
+
+
+def _read_manifest(d: str) -> dict | None:
+    p = _manifest_path(d)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _write_manifest(d: str, payload: dict) -> None:
+    tmp = _manifest_path(d) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, _manifest_path(d))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(id, cluster_id)`` where ``cluster_id`` is the minimum
+    id in each component (deterministic — reruns are idempotent).
+
+    Ids may be any orderable type (strings work). Nodes appearing only
+    as singletons must be unioned in by the caller (see
+    ``attach_singletons``).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+
+    start_iter = 0
+    prev_sig: tuple[int, int] | None = None
+    if checkpoint_dir:
+        man = _read_manifest(checkpoint_dir)
+        if man and man.get("iterations"):
+            last = man["iterations"][-1]
+            e = spark.read.parquet(last["path"])
+            start_iter = last["iteration"] + 1
+            prev_sig = (last["n_edges"], last["checksum"])
+
+    manifest = _read_manifest(checkpoint_dir) if checkpoint_dir else None
+    manifest = manifest or {"iterations": []}
+
+    for it in range(start_iter, max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"iter_{it:04d}")
+            e.write.mode("overwrite").parquet(path)
+            e = spark.read.parquet(path)
+        else:
+            e = e.localCheckpoint()
+        sig = _checksum(e)
+        converged = sig == prev_sig
+        if checkpoint_dir:
+            manifest["iterations"].append(
+                {
+                    "iteration": it,
+                    "path": path,
+                    "n_edges": sig[0],
+                    "checksum": sig[1],
+                    "converged": converged,
+                }
+            )
+            _write_manifest(checkpoint_dir, manifest)
+            spark.createDataFrame(
+                [(it, sig[0], sig[1], converged)],
+                "iteration int, n_edges long, checksum long, converged boolean",
+            ).write.mode("append").parquet(os.path.join(checkpoint_dir, "metrics"))
+        if converged:
+            break
+        prev_sig = sig
+
+    # after convergence every edge is (node, component-min)
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("id")).distinct().join(
+        labels.select("id"), "id", "left_anti"
+    ).withColumn("cluster_id", F.col("id"))
+    return labels.union(roots)
+
+
+def attach_singletons(
+    labels: DataFrame, all_ids: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Union in self-labeled clusters for records that produced no
+    match edge."""
+    ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+    singles = ids.join(labels.select("id"), "id", "left_anti").withColumn(
+        "cluster_id", F.col("id")
+    )
+    return labels.union(singles)

@@ -1,0 +1,131 @@
+"""Candidate-pair self-join with explicit skew handling.
+
+The quadratic danger in blocking-based ER is the hot block: a block of
+``n`` records yields ``n(n-1)/2`` pairs, all landing on ONE shuffle
+key. At 10^12-turn scale a single viral block would pin one reducer for
+hours. Two explicit mechanisms (on top of Spark AQE skew-join
+splitting, which cannot split a self-join key that explodes
+quadratically):
+
+* **salted sharding** — records in blocks above ``salt_threshold`` are
+  deterministically sharded by ``xxhash64(id) % s``; the self-join key
+  becomes ``(block, shard_i, shard_j)`` with each record replicated
+  into its row/column of the shard triangle, splitting one hot key into
+  ``s(s+1)/2`` balanced keys while producing every pair exactly once.
+* **block cap** — blocks above ``max_block_size`` are dropped entirely
+  (an over-populated key is an uninformative blocking key; standard ER
+  practice). Dropped-block counts surface in the metrics sink.
+
+Output pairs are canonicalized ``id_a < id_b`` and de-duplicated across
+bands with one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(
+    blocked: DataFrame,
+    id_col: str = "conv_id",
+    block_col: str = "block_key",
+    payload_cols: tuple[str, ...] = ("doc",),
+    max_block_size: int | None = 2000,
+    salt_threshold: int = 64,
+    salt_shards: int = 8,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Self-join records sharing a block key into scored-pair candidates.
+
+    Returns one row per unordered pair: ``id_a, id_b, <payload>_a,
+    <payload>_b`` with ``id_a < id_b``.
+    """
+    cols = [F.col(id_col).alias("rid"), F.col(block_col).alias("bk")] + [
+        F.col(c) for c in payload_cols
+    ]
+    recs = blocked.select(*cols)
+
+    # block sizes: one aggregation, joined back (AQE handles the join)
+    sizes = recs.groupBy("bk").agg(F.count(F.lit(1)).alias("bsz"))
+    recs = recs.join(sizes, "bk")
+    if max_block_size is not None:
+        recs = recs.where(F.col("bsz") <= max_block_size)
+    # singleton blocks can't produce pairs — prune before the explode
+    recs = recs.where(F.col("bsz") >= 2)
+
+    # shard assignment: 1 for cold blocks, hash-mod for hot ones
+    hot = F.col("bsz") > salt_threshold
+    shard = F.when(
+        hot, F.pmod(F.xxhash64(F.col("rid")), F.lit(salt_shards))
+    ).otherwise(F.lit(0))
+    recs = recs.withColumn("shard", shard).withColumn(
+        "nsh", F.when(hot, F.lit(salt_shards)).otherwise(F.lit(1))
+    )
+
+    # left role: record in shard s joins shard pairs (s, j) for j >= s
+    left = recs.withColumn(
+        "other", F.explode(F.sequence(F.col("shard"), F.col("nsh") - 1))
+    ).select(
+        F.col("bk"),
+        F.col("shard").alias("si"),
+        F.col("other").alias("sj"),
+        F.col("rid").alias("rid_l"),
+        *[F.col(c).alias(f"{c}_l") for c in payload_cols],
+    )
+    # right role: record in shard s joins shard pairs (i, s) for i <= s
+    right = recs.withColumn(
+        "other", F.explode(F.sequence(F.lit(0), F.col("shard")))
+    ).select(
+        F.col("bk"),
+        F.col("other").alias("si"),
+        F.col("shard").alias("sj"),
+        F.col("rid").alias("rid_r"),
+        *[F.col(c).alias(f"{c}_r") for c in payload_cols],
+    )
+
+    joined = left.join(right, ["bk", "si", "sj"])
+    same_shard = F.col("si") == F.col("sj")
+    joined = joined.where(
+        # same shard: strict ordering avoids self-pairs and double emits;
+        # cross shard: every pair appears exactly once (l in si, r in sj)
+        (same_shard & (F.col("rid_l") < F.col("rid_r")))
+        | (~same_shard & (F.col("rid_l") != F.col("rid_r")))
+    )
+
+    # canonicalize id_a < id_b (cross-shard pairs may arrive either way)
+    flip = F.col("rid_l") > F.col("rid_r")
+    sel = [
+        F.when(flip, F.col("rid_r")).otherwise(F.col("rid_l")).alias("id_a"),
+        F.when(flip, F.col("rid_l")).otherwise(F.col("rid_r")).alias("id_b"),
+    ]
+    for c in payload_cols:
+        sel.append(
+            F.when(flip, F.col(f"{c}_r")).otherwise(F.col(f"{c}_l")).alias(f"{c}_a")
+        )
+        sel.append(
+            F.when(flip, F.col(f"{c}_l")).otherwise(F.col(f"{c}_r")).alias(f"{c}_b")
+        )
+    pairs = joined.select(*sel)
+
+    if dedupe:
+        # a pair found by several bands must be scored once
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            *[
+                F.first(f"{c}_{s}").alias(f"{c}_{s}")
+                for c in payload_cols
+                for s in ("a", "b")
+            ]
+        )
+    return pairs
+
+
+def block_stats(blocked: DataFrame, block_col: str = "block_key") -> DataFrame:
+    """Block-size distribution for skew diagnostics / metrics sink."""
+    sizes = blocked.groupBy(block_col).agg(F.count(F.lit(1)).alias("bsz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("bsz").alias("max_block"),
+        F.expr("percentile_approx(bsz, 0.99)").alias("p99_block"),
+        F.sum(F.expr("bsz * (bsz - 1) / 2")).alias("naive_pairs"),
+    )

@@ -1,0 +1,70 @@
+"""Pair scoring: Catalyst-native k-cutoff prune, then the vectorized
+edit-distance UDF, then normalized similarity + match decision.
+
+Plan shape (checked in tests via .explain): the length prefilter is a
+plain Column predicate evaluated BEFORE the Python exchange, so pruned
+pairs never cross the JVM->Arrow boundary; the UDF itself is a scalar
+pandas UDF (ArrowEvalPython node) over exactly two string columns —
+column pruning keeps the exchange narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from triple_accel_spark.functions import edit_distance, length_prefilter
+from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
+
+
+def score_pairs(
+    pairs: DataFrame,
+    text_a: str = "doc_a",
+    text_b: str = "doc_b",
+    k: int | None = None,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    sim_threshold: float | None = None,
+    dist_col: str = "dist",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Add ``dist`` (NULL-pruned at ``k``) and ``sim`` columns; filter
+    to ``sim >= sim_threshold`` if given."""
+    df = pairs
+    if k is not None:
+        df = df.where(length_prefilter(text_a, text_b, k, costs))
+    df = df.withColumn(dist_col, edit_distance(F.col(text_a), F.col(text_b), k, costs))
+    df = df.where(F.col(dist_col).isNotNull())
+    denom = F.greatest(F.length(text_a), F.length(text_b), F.lit(1))
+    df = df.withColumn(
+        sim_col, F.lit(1.0) - F.col(dist_col).cast("double") / denom.cast("double")
+    )
+    if sim_threshold is not None:
+        df = df.where(F.col(sim_col) >= sim_threshold)
+    return df
+
+
+def relative_k(threshold: float, max_len_hint: int) -> int:
+    """Distance budget implied by a similarity threshold at a length
+    scale: ``sim >= t  <=>  dist <= (1-t) * max_len``."""
+    return max(1, int((1.0 - threshold) * max_len_hint))
+
+
+def pairwise_f1(
+    predicted: DataFrame,
+    truth_positive: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> dict:
+    """Pairwise precision/recall/F1 of predicted match pairs against the
+    positive ground-truth pairs (both tables canonicalized
+    ``id_a < id_b``). Standard ER pairwise metric: TP = predicted AND
+    true, FP = predicted only, FN = true only."""
+    pred = predicted.select(id_a, id_b).distinct().cache()
+    truth = truth_positive.select(id_a, id_b).distinct().cache()
+    tp = pred.join(truth, [id_a, id_b]).count()
+    fp = pred.count() - tp
+    fn = truth.count() - tp
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_expr``        — exact cosine as a pure Column expression
+                           (``aggregate``/``zip_with``; JVM-side).
+* ``brute_force_topk``   — exact top-k neighbors for a (small) query
+                           set: broadcast queries x corpus, window
+                           rank. The correctness baseline.
+* ``hyperplane_bucket``  — deterministic random-hyperplane LSH key.
+* ``lsh_topk``           — bucketed approximate top-k: equi-join on
+                           bucket instead of the full cross product —
+                           the 100 TB scale path (cross product is
+                           O(N*Q); bucketing cuts it by ~2^planes).
+
+Hyperplanes are generated from ``xxhash64`` of (plane, dim) so they are
+deterministic, identical on every executor, and need no broadcast of
+random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b) -> Column:
+    """Dot product of two array<float> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a, b) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-gaussian-ish component in [-1, 1): derived
+    from xxhash64(plane, dim, seed) — sign-LSH only needs symmetry."""
+    h = F.xxhash64(F.lit(plane), dim_idx, F.lit(seed))
+    return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 42) -> Column:
+    """Sign-pattern bucket id (bigint) from ``n_planes`` deterministic
+    hyperplanes."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comp = F.zip_with(
+            vec, idx, lambda v, i: v.cast("double") * _plane_component(p, i, seed)
+        )
+        proj = F.aggregate(comp, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: ``(query_id, vec_id, cosine, rank)``.
+
+    The query side is broadcast — the corpus is never shuffled, so this
+    scales to arbitrary corpus size as long as the query set is small
+    (the usual ANN-baseline shape)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr("qvec", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Each of ``n_tables`` independent sign-LSH tables buckets corpus and
+    queries; candidates are the union of same-bucket collisions, then
+    exact cosine + rank. Recall grows as ``1-(1-p^planes)^tables``."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = None
+    for t in range(n_tables):
+        cb = c.withColumn("bucket", hyperplane_bucket(F.col("cvec"), n_planes, seed + t))
+        qb = q.withColumn("bucket", hyperplane_bucket(F.col("qvec"), n_planes, seed + t))
+        hit = cb.join(F.broadcast(qb), "bucket").select(
+            "query_id", id_col, "qvec", "cvec"
+        )
+        cand = hit if cand is None else cand.union(hit)
+    cand = cand.dropDuplicates(["query_id", id_col])
+    scored = cand.withColumn("cosine", cosine_expr("qvec", "cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

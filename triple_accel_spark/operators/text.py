@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM, whole-stage codegen) — no UDFs:
+
+* ``token_count``       — whitespace tokens and a BPE-ish word/number/
+                          punct regex count.
+* ``quality_features``  — length / punctuation / stopword / repetition
+                          ratios + a composite quality score.
+* ``lang_id``           — tiny stopword-hit heuristic over a few
+                          languages (deterministic, documented as a
+                          heuristic, not a model).
+* ``fingerprint64``     — order-sensitive rolling content fingerprint
+                          (xxhash64 fold over q-grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from triple_accel_spark.operators.blocking import qgrams
+
+_WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def token_count(text_col, mode: str = "regex") -> Column:
+    """Token count: ``whitespace`` splits on runs of whitespace;
+    ``regex`` counts word/number/punctuation units (BPE-ish pre-token
+    boundary approximation)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if mode == "whitespace":
+        trimmed = F.trim(c)
+        return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+    return F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), F.lit(0)))
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns + a composite ``quality_score`` in
+    [0, 1] (heuristic weights; each signal is independently usable)."""
+    c = F.col(text_col)
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    words = token_count(text_col, "whitespace")
+    uniq_words = F.size(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
+    out = (
+        df.withColumn("n_chars", n)
+        .withColumn("n_words", words)
+        .withColumn("alpha_ratio", _ratio(alpha, n))
+        .withColumn("digit_ratio", _ratio(digit, n))
+        .withColumn("punct_ratio", _ratio(punct, n))
+        .withColumn("space_ratio", _ratio(space, n))
+        .withColumn("mean_word_len", _ratio(n - space, words))
+        .withColumn("uniq_word_ratio", _ratio(uniq_words, words))
+    )
+    score = (
+        F.least(F.col("alpha_ratio") / 0.6, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") / 0.5, F.lit(1.0))) * 0.2
+        + F.least(F.col("uniq_word_ratio"), F.lit(1.0)) * 0.2
+        + F.when((F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 0.2)
+        .otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(text_col) -> Column:
+    """Heuristic language id: the language whose stopword list hits the
+    most tokens; ``und`` (undetermined) when nothing hits."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(c), r"[^a-zà-ÿ]+")
+    scores = []
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        # count multiplicity: filter beats intersect for repeated stopwords
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(text_col, q: int = 8) -> Column:
+    """Order-sensitive 64-bit document fingerprint: xor-fold of
+    position-salted q-gram hashes (a rolling-hash-style content id that
+    tolerates nothing — equal fingerprints => almost surely equal
+    docs)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = qgrams(c, q)
+    idx = F.sequence(F.lit(0), F.size(grams) - 1)
+    salted = F.zip_with(grams, idx, lambda g, i: F.xxhash64(g, i))
+    return F.aggregate(
+        salted, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )

@@ -1,0 +1,105 @@
+"""End-to-end entity resolution over transcript tables.
+
+    scan -> assemble docs -> MinHash blocking -> salted pair self-join
+    -> length-prune -> vectorized edit-distance scoring -> threshold
+    -> connected components (checkpointed) -> clusters + metrics
+
+The stages are the Spark-native re-expression of the reference's
+kernel family (BASELINE.json north_star); each stage is independently
+importable from ``triple_accel_spark.operators``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
+from triple_accel_spark.operators.assemble import assemble_documents
+from triple_accel_spark.operators.blocking import with_minhash_blocks
+from triple_accel_spark.operators.clustering import (
+    attach_singletons,
+    connected_components,
+)
+from triple_accel_spark.operators.pairs import candidate_pairs
+from triple_accel_spark.operators.scoring import score_pairs
+
+
+@dataclass
+class ResolveConfig:
+    q: int = 4
+    num_hashes: int = 16
+    num_bands: int = 8
+    sim_threshold: float = 0.88
+    k_frac: float = 0.2  # distance budget as a fraction of doc length
+    max_block_size: int | None = 5000
+    salt_threshold: int = 64
+    salt_shards: int = 8
+    costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
+    checkpoint_dir: str | None = None
+    cc_max_iter: int = 25
+
+
+@dataclass
+class ResolveResult:
+    docs: DataFrame
+    pairs_scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+    metrics: dict
+
+
+def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -> ResolveResult:
+    """Run the full pipeline; returns intermediate and final frames plus
+    a driver-side metrics dict (stage row counts)."""
+    cfg = cfg or ResolveConfig()
+    metrics: dict = {}
+
+    docs = assemble_documents(transcripts).cache()
+    metrics["n_docs"] = docs.count()
+
+    # distance budget scaled to the corpus: k such that sim_threshold is
+    # reachable for the longest docs (the per-pair normalized threshold
+    # is still enforced exactly afterwards)
+    max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
+    k = max(1, int((1.0 - cfg.sim_threshold) * max_len) + 1)
+    metrics["k_cutoff"] = k
+
+    blocked = with_minhash_blocks(
+        docs, "doc", q=cfg.q, num_hashes=cfg.num_hashes, num_bands=cfg.num_bands
+    )
+    pairs = candidate_pairs(
+        blocked,
+        id_col="conv_id",
+        block_col="block_key",
+        payload_cols=("doc",),
+        max_block_size=cfg.max_block_size,
+        salt_threshold=cfg.salt_threshold,
+        salt_shards=cfg.salt_shards,
+    )
+
+    scored = score_pairs(
+        pairs,
+        "doc_a",
+        "doc_b",
+        k=k,
+        costs=cfg.costs,
+        sim_threshold=None,
+    ).cache()
+    metrics["n_pairs_scored"] = scored.count()
+
+    matches = scored.where(F.col("sim") >= cfg.sim_threshold).cache()
+    metrics["n_matches"] = matches.count()
+
+    labels = connected_components(
+        matches.select("id_a", "id_b"),
+        checkpoint_dir=cfg.checkpoint_dir,
+        max_iter=cfg.cc_max_iter,
+    )
+    clusters = attach_singletons(labels, docs, "conv_id").cache()
+    metrics["n_records"] = clusters.count()
+    metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
+
+    return ResolveResult(docs, scored, matches, clusters, metrics)
