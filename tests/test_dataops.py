@@ -155,11 +155,13 @@ def test_lsh_topk_recall(spark, embeddings):
         "query_id bigint, embedding array<float>",
     )
     exact = brute_force_topk(corpus, queries, k=3).collect()
-    approx = lsh_topk(corpus, queries, k=3, n_planes=6, n_tables=6).collect()
+    approx = lsh_topk(corpus, queries, k=3, n_planes=4, n_tables=8).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5  # approximate — self-match (cos=1) always recalled
+    # 64-dim random vectors: sign-LSH recall is probabilistic; with 4
+    # planes / 8 tables the collision floor is high — require majority
+    assert recall >= 0.5, recall
     # every query must at least find itself
     for q in [r["query_id"] for r in queries.collect()]:
         assert (q, q) in approx_set
