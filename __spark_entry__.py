@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship ER chain on sf0.001 documents.
+``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                   training-data ops); each callable takes
+                   ``(spark, sf_dir)`` and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Omitted for
+                   ops DuckDB cannot express (OSA rdamerau — DuckDB's
+                   damerau_levenshtein is full DL; semi-global search;
+                   xxhash64-based sketches; the synthesized-transcript
+                   pipeline) — those get the driver's rows-only check
+                   and are covered by ported-reference pytest oracles
+                   instead (tests/test_kernels_vectors.py).
+
+Column names and dtypes are aligned pairwise: integers surface as
+bigint, ratios as IEEE doubles computed with the same operation order
+in both engines so value hashes agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +22,538 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triple_accel_spark.functions import (
+    edit_distance,
+    edit_search,
+    hamming,
+    hamming_search,
+    rdamerau,
+)
+from triple_accel_spark.kernels.costs import EditCosts
+from triple_accel_spark.operators.blocking import with_prefix_blocks
+from triple_accel_spark.operators.clustering import (
+    attach_singletons,
+    connected_components,
+)
+from triple_accel_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_duplicates,
+    simhash64,
+)
+from triple_accel_spark.operators.pairs import candidate_pairs
+from triple_accel_spark.operators.scoring import score_pairs
+from triple_accel_spark.operators.similarity import brute_force_topk, lsh_topk
+from triple_accel_spark.operators.text import (
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+# ---------------------------------------------------------------- helpers
+
+ER_PREFIX = 12  # normalized-prefix blocking key length for the doc ER chain
+ER_K = 120  # edit-distance budget
+ER_TAU = 0.8  # match threshold on normalized similarity
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pair frame: consecutive doc_ids."""
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("text_b"))
+    return a.join(b, "id_a").select("id_a", "id_b", "text_a", "text_b")
+
+
+_ADJ_SQL = (
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
+)
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table reshaped to the transcript input schema
+    (conv_id, turn_idx, text): real testdata driving the doc-assembly
+    operator with a DuckDB-checkable ordering oracle."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("props").alias("text"),
+    )
+
+
+def _doc_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking -> candidate self-join -> k-cutoff -> vectorized scoring:
+    the pipeline chain over the real documents table."""
+    blocked = with_prefix_blocks(_docs(spark, sf_dir), "text", prefix_len=ER_PREFIX)
+    pairs = candidate_pairs(
+        blocked, id_col="doc_id", block_col="block_key", payload_cols=("text",),
+        max_block_size=None,
+    )
+    scored = score_pairs(pairs, "text_a", "text_b", k=ER_K)
+    return scored.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("sim"),
+        (F.col("sim") >= ER_TAU).alias("is_match"),
+    )
+
+
+_DOC_ER_PAIR_SQL = f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS dist,
+       1.0::DOUBLE - levenshtein(a.text, b.text)::DOUBLE
+           / greatest(length(a.text), length(b.text), 1)::DOUBLE AS sim
+FROM documents a JOIN documents b
+  ON substr(lower(regexp_replace(a.text, '\\s+', ' ', 'g')), 1, {ER_PREFIX})
+   = substr(lower(regexp_replace(b.text, '\\s+', ' ', 'g')), 1, {ER_PREFIX})
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {ER_K}
+"""
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document ER chain (block -> pair -> score -> cluster)
+    on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    matches = _doc_er_matches(spark, sf_dir).where(F.col("is_match"))
+    labels = connected_components(matches.select("id_a", "id_b"))
+    docs = _docs(spark, sf_dir)
+    clusters = attach_singletons(labels, docs, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def doc_assembly(spark, sf_dir):
+        from triple_accel_spark.operators.assemble import assemble_documents
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        t = _events_as_transcripts(spark, sf_dir)
+        d = assemble_documents(t)
+        return d.select(
+            "conv_id", "doc",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+        )
+
+    def lev_adjacent(spark, sf_dir):
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance("text_a", "text_b").cast("long").alias("dist"),
+            F.levenshtein("text_a", "text_b").cast("long").alias("dist_builtin"),
+        )
+
+    def lev_k_adjacent(spark, sf_dir):
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance("text_a", "text_b", k=40).cast("long").alias("dist_k"),
+        )
+
+    def hamming_fixed(spark, sf_dir):
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        fa = F.rpad(F.substring("text_a", 1, 40), 40, "x")
+        fb = F.rpad(F.substring("text_b", 1, 40), 40, "x")
+        return p.select(
+            "id_a", "id_b", hamming(fa, fb).cast("long").alias("dist")
+        )
+
+    def rdamerau_adjacent(spark, sf_dir):
+        # rows-only: DuckDB damerau_levenshtein is full DL, not OSA
+        # (SURVEY.md §2 D12); OSA parity is pytest-oracled instead.
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return p.select(
+            "id_a", "id_b", rdamerau("text_a", "text_b").cast("long").alias("dist")
+        )
+
+    def edit_costs_adjacent(spark, sf_dir):
+        # generalized EditCosts path (banded DP kernel, D9/D11)
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        costs = EditCosts(mismatch_cost=2, gap_cost=3, start_gap_cost=1)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance("text_a", "text_b", k=200, costs=costs)
+            .cast("long").alias("cost"),
+        )
+
+    def edit_search_docs(spark, sf_dir):
+        # semi-global fuzzy search (S4-S6): plant the needle from the
+        # doc's own middle, require a hit
+        d = _docs(spark, sf_dir)
+        needle = F.substring("text", 21, 12)
+        m = d.select(
+            F.col("doc_id"),
+            edit_search(needle, F.col("text"), k=2, search_type="best").alias("ms"),
+        )
+        return m.select(
+            "doc_id",
+            F.size("ms").cast("long").alias("n_matches"),
+            F.element_at("ms", 1)["k"].cast("long").alias("best_k"),
+            F.element_at("ms", 1)["start"].cast("long").alias("first_start"),
+        )
+
+    def hamming_search_docs(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        needle = F.substring("text", 21, 12)
+        m = d.select(
+            F.col("doc_id"),
+            hamming_search(needle, F.col("text"), k=2, search_type="best").alias("ms"),
+        )
+        return m.select(
+            "doc_id",
+            F.size("ms").cast("long").alias("n_matches"),
+            F.element_at("ms", 1)["k"].cast("long").alias("best_k"),
+        )
+
+    def exact_dedup_docs(spark, sf_dir):
+        kept = dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
+        return kept.select("doc_id", F.md5("text").alias("digest"))
+
+    def ngram_jaccard_adjacent(spark, sf_dir):
+        from triple_accel_spark.operators.dedup import ngram_jaccard
+
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return ngram_jaccard(p, "text_a", "text_b", n=3).select(
+            "id_a", "id_b", "jaccard"
+        )
+
+    def minhash_lsh_dups(spark, sf_dir):
+        return minhash_lsh_duplicates(
+            _docs(spark, sf_dir), "text", "doc_id", jaccard_threshold=0.5
+        )
+
+    def simhash_docs(spark, sf_dir):
+        return _docs(spark, sf_dir).select("doc_id", simhash64("text").alias("simhash"))
+
+    def fingerprint_docs(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", fingerprint64("text").alias("fp")
+        )
+
+    def token_stats(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            token_count("text", "whitespace").cast("long").alias("n_ws"),
+            token_count("text", "regex").cast("long").alias("n_tok"),
+        )
+
+    def quality_scores(spark, sf_dir):
+        q = quality_features(_docs(spark, sf_dir), "text")
+        return q.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_words").cast("long").alias("n_words"),
+            "alpha_ratio", "punct_ratio", "uniq_word_ratio", "mean_word_len",
+            "quality_score",
+        )
+
+    def lang_id_docs(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", lang_id("text").alias("lang_pred")
+        )
+
+    def ann_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 10)
+        top = brute_force_topk(corpus, qs, k=10)
+        return top.select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+
+    def ann_lsh(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 10)
+        return lsh_topk(corpus, qs, k=10)
+
+    def embedding_dups(spark, sf_dir):
+        # the testdata embeddings have no near-dup pairs (max pairwise
+        # cosine ~0.51), so plant deterministic duplicates: scaled
+        # copies of vec_id < 50 (cosine exactly 1.0 to their source)
+        from triple_accel_spark.operators.dedup import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dups = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = emb.select("vec_id", "embedding").union(dups)
+        return embedding_near_duplicates(corpus, "embedding", "vec_id",
+                                         cosine_threshold=0.999)
+
+    def er_matches_docs(spark, sf_dir):
+        return _doc_er_matches(spark, sf_dir)
+
+    def er_clusters_docs(spark, sf_dir):
+        matches = _doc_er_matches(spark, sf_dir).where(F.col("is_match"))
+        labels = connected_components(matches.select("id_a", "id_b"))
+        clusters = attach_singletons(labels, _docs(spark, sf_dir), "doc_id")
+        return clusters.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    def events_hourly(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type", "n", "min_v", "max_v",
+            )
+        )
+
+    def er_transcripts_clusters(spark, sf_dir):
+        # the north-rule pipeline on the deterministic synthetic
+        # transcript corpus (rows-only; F1 asserted in er_transcripts_f1
+        # and tests/test_pipeline.py)
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+        from triple_accel_spark.sources.transcripts import generate_transcripts
+
+        tdf, _ = generate_transcripts(n_entities=200, seed=42)
+        t = spark.createDataFrame(tdf)
+        res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
+        return res.clusters
+
+    def er_transcripts_f1(spark, sf_dir):
+        from triple_accel_spark.operators.scoring import pairwise_f1
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+        from triple_accel_spark.sources.transcripts import generate_transcripts
+
+        tdf, truth_pdf = generate_transcripts(n_entities=200, seed=42)
+        t = spark.createDataFrame(tdf)
+        res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
+        truth = spark.createDataFrame(truth_pdf)
+        m = pairwise_f1(res.matches, truth)
+        return spark.createDataFrame(
+            [(m["tp"], m["fp"], m["fn"], m["precision"], m["recall"], m["f1"])],
+            "tp long, fp long, fn long, precision double, recall double, f1 double",
+        )
+
+    def media_features(spark, sf_dir):
+        from triple_accel_spark.operators.multimodal import (
+            extract_features,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=64, seed=42)
+        feats = extract_features(media)
+        return feats.select(
+            "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.size("feature").cast("long").alias("feat_dim"),
+        )
+
+    return {
+        "doc_assembly": doc_assembly,
+        "lev_adjacent": lev_adjacent,
+        "lev_k_adjacent": lev_k_adjacent,
+        "hamming_fixed": hamming_fixed,
+        "rdamerau_adjacent": rdamerau_adjacent,
+        "edit_costs_adjacent": edit_costs_adjacent,
+        "edit_search_docs": edit_search_docs,
+        "hamming_search_docs": hamming_search_docs,
+        "exact_dedup_docs": exact_dedup_docs,
+        "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_docs": simhash_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "token_stats": token_stats,
+        "quality_scores": quality_scores,
+        "lang_id_docs": lang_id_docs,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "embedding_dups": embedding_dups,
+        "er_matches_docs": er_matches_docs,
+        "er_clusters_docs": er_clusters_docs,
+        "events_hourly": events_hourly,
+        "er_transcripts_clusters": er_transcripts_clusters,
+        "er_transcripts_f1": er_transcripts_f1,
+        "media_features": media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    word_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    stop = {
+        "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+        "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"],
+        "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "es"],
+    }
+    lang_rows = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in ws))
+        for lang, ws in stop.items()
+    )
+    grams3 = (
+        "list_transform(range(1, length({t}) - 1), i -> substr({t}, i::INT, 3))"
+    )
+    return {
+        "doc_assembly": """
+            SELECT user_id AS conv_id,
+                   string_agg(props, chr(31) ORDER BY event_id) AS doc,
+                   count(*) AS n_turns,
+                   length(string_agg(props, chr(31) ORDER BY event_id)) AS doc_len
+            FROM events GROUP BY user_id
+        """,
+        "lev_adjacent": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist,
+                   levenshtein(a.text, b.text) AS dist_builtin
+            {_ADJ_SQL}
+        """,
+        "lev_k_adjacent": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN levenshtein(a.text, b.text) <= 40
+                        THEN levenshtein(a.text, b.text) END AS dist_k
+            {_ADJ_SQL}
+        """,
+        "hamming_fixed": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   hamming(rpad(substr(a.text, 1, 40), 40, 'x'),
+                           rpad(substr(b.text, 1, 40), 40, 'x')) AS dist
+            {_ADJ_SQL}
+        """,
+        "exact_dedup_docs": """
+            SELECT doc_id, md5(text) AS digest FROM documents d
+            WHERE doc_id = (SELECT min(doc_id) FROM documents x
+                            WHERE x.text = d.text)
+        """,
+        "ngram_jaccard_adjacent": f"""
+            WITH g AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     list_distinct(CASE WHEN length(a.text) >= 3
+                        THEN {grams3.format(t='a.text')} ELSE [a.text] END) AS ga,
+                     list_distinct(CASE WHEN length(b.text) >= 3
+                        THEN {grams3.format(t='b.text')} ELSE [b.text] END) AS gb
+              {_ADJ_SQL}
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN length(list_distinct(ga || gb)) > 0
+                        THEN length(list_intersect(ga, gb))::DOUBLE
+                             / length(list_distinct(ga || gb))::DOUBLE
+                        ELSE 1.0::DOUBLE END AS jaccard
+            FROM g
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+                   length(regexp_extract_all(text, '{word_re}')) AS n_tok
+            FROM documents
+        """,
+        "quality_scores": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+                     length(regexp_replace(text, '[^\s]', '', 'g')) AS space,
+                     length(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS uniq_words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, n_words,
+                     CASE WHEN n_chars > 0 THEN alpha::DOUBLE / n_chars::DOUBLE ELSE 0.0::DOUBLE END AS alpha_ratio,
+                     CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars::DOUBLE ELSE 0.0::DOUBLE END AS punct_ratio,
+                     CASE WHEN n_words > 0 THEN uniq_words::DOUBLE / n_words::DOUBLE ELSE 0.0::DOUBLE END AS uniq_word_ratio,
+                     CASE WHEN n_words > 0 THEN (n_chars - space)::DOUBLE / n_words::DOUBLE ELSE 0.0::DOUBLE END AS mean_word_len
+              FROM f
+            )
+            SELECT doc_id, n_chars, n_words, alpha_ratio, punct_ratio,
+                   uniq_word_ratio, mean_word_len,
+                   round(least(alpha_ratio / 0.6::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+                   + (1.0::DOUBLE - least(punct_ratio / 0.5::DOUBLE, 1.0::DOUBLE)) * 0.2::DOUBLE
+                   + least(uniq_word_ratio, 1.0::DOUBLE) * 0.2::DOUBLE
+                   + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12
+                          THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
+            FROM r
+        """,
+        "lang_id_docs": f"""
+            WITH langs(lang, words) AS (VALUES {lang_rows}),
+            hits AS (
+              SELECT d.doc_id, l.lang,
+                     length(list_filter(
+                        regexp_split_to_array(lower(d.text), '[^a-zà-ÿ]+'),
+                        t -> list_contains(l.words, t))) AS n_hits
+              FROM documents d CROSS JOIN langs l
+            ),
+            best AS (
+              SELECT doc_id,
+                     max(struct_pack(hits := n_hits, lang := lang)) AS b
+              FROM hits GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+            FROM best
+        """,
+        "ann_topk": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cosine
+              FROM dbl q CROSS JOIN dbl c
+              WHERE q.vec_id < 10 AND c.vec_id >= 10
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "er_matches_docs": f"""
+            SELECT id_a, id_b, dist, sim, sim >= {ER_TAU} AS is_match
+            FROM ({_DOC_ER_PAIR_SQL})
+        """,
+        "er_clusters_docs": f"""
+            WITH RECURSIVE m AS (
+              SELECT id_a, id_b FROM ({_DOC_ER_PAIR_SQL}) WHERE sim >= {ER_TAU}
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            )
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,178 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): candidate-pairs-scored/sec — the
+Arrow-batched Myers/banded kernel scoring stage over documents
+assembled from the deterministic synthetic transcript corpus.
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the scoring stage at
+local[8] vs local[32] on identical input and report scaling
+efficiency (sandbox stand-in for N vs 4N executors; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from triple_accel_spark.operators.assemble import assemble_documents  # noqa: E402
+from triple_accel_spark.operators.blocking import with_minhash_blocks  # noqa: E402
+from triple_accel_spark.operators.clustering import (  # noqa: E402
+    attach_singletons,
+    connected_components,
+)
+from triple_accel_spark.operators.dedup import minhash_lsh_duplicates  # noqa: E402
+from triple_accel_spark.operators.pairs import candidate_pairs  # noqa: E402
+from triple_accel_spark.operators.scoring import score_pairs  # noqa: E402
+from triple_accel_spark.operators.similarity import brute_force_topk  # noqa: E402
+from triple_accel_spark.session import get_spark  # noqa: E402
+from triple_accel_spark.sources.transcripts import generate_transcripts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+# transcript corpus sized to the scale factor (sf0.1 -> 1500 entities)
+N_ENTITIES = max(100, int(15000 * SF))
+PAIR_FANOUT = 20  # scoring-stage pair generation: each doc vs next 20
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def build_docs(spark):
+    tdf, _ = generate_transcripts(n_entities=N_ENTITIES, seed=42)
+    t = spark.createDataFrame(tdf).repartition(CPUS)
+    docs = assemble_documents(t).persist()
+    docs.count()
+    return docs
+
+
+def scoring_pairs(docs):
+    """Dense deterministic candidate-pair frame: every doc vs the next
+    PAIR_FANOUT docs in id order (bounded fanout, shuffle-balanced)."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(
+        F.row_number().over(Window.orderBy("conv_id")).alias("seq"),
+        "conv_id", "doc",
+    )
+    a = d.select(F.col("seq").alias("sa"), F.col("conv_id").alias("id_a"),
+                 F.col("doc").alias("doc_a"))
+    b = d.select(F.col("seq").alias("sb"), F.col("conv_id").alias("id_b"),
+                 F.col("doc").alias("doc_b"))
+    j = a.join(
+        b,
+        (F.col("sb") > F.col("sa")) & (F.col("sb") <= F.col("sa") + PAIR_FANOUT),
+    )
+    return j.select("id_a", "id_b", "doc_a", "doc_b")
+
+
+def run_scoring_stage(spark, docs, k):
+    pairs = scoring_pairs(docs).persist()
+    n_pairs = pairs.count()  # materialize: timing below isolates scoring
+    sec, n_scored = timed(
+        lambda: score_pairs(pairs, "doc_a", "doc_b", k=k, sim_threshold=None).count()
+    )
+    pairs.unpersist()
+    return n_pairs, n_scored, sec
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries: dict[str, float] = {}
+    extra: dict = {"sf": SF, "cpus": CPUS, "n_entities": N_ENTITIES}
+
+    docs = build_docs(spark)
+    n_docs = docs.count()
+    max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
+    k = max(1, int(0.12 * max_len) + 1)
+    extra["n_docs"] = n_docs
+
+    # q1: headline — bulk pair scoring (Myers bit-parallel kernel)
+    n_pairs, _, sec = run_scoring_stage(spark, docs, k)
+    queries["q1_pair_scoring"] = round(sec, 3)
+    pairs_per_sec = n_pairs / sec if sec > 0 else 0.0
+    extra["pairs_scored"] = n_pairs
+    extra["pairs_per_sec"] = round(pairs_per_sec, 1)
+
+    # q2: full ER pipeline (block -> join -> score -> threshold -> CC)
+    def er():
+        blocked = with_minhash_blocks(docs)
+        cand = candidate_pairs(blocked, id_col="conv_id", block_col="block_key",
+                               payload_cols=("doc",))
+        matches = score_pairs(cand, "doc_a", "doc_b", k=k, sim_threshold=0.88)
+        labels = connected_components(matches.select("id_a", "id_b"))
+        return attach_singletons(labels, docs, "conv_id").count()
+
+    sec, n_clustered = timed(er)
+    queries["q2_er_pipeline"] = round(sec, 3)
+    extra["er_records"] = n_clustered
+
+    # q3: minhash LSH dedup over the sf documents table
+    sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sec, _ = timed(lambda: minhash_lsh_duplicates(
+        sf_docs, "text", "doc_id", jaccard_threshold=0.5).count())
+    queries["q3_minhash_dedup"] = round(sec, 3)
+
+    # q4: brute-force cosine top-k over the sf embeddings table
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.where(F.col("vec_id") >= 20)
+    sec, _ = timed(lambda: brute_force_topk(corpus, qs, k=10).count())
+    queries["q4_ann_topk"] = round(sec, 3)
+
+    # q5: hamming kernel over fixed-width prefixes of sf documents
+    from triple_accel_spark.functions import hamming
+
+    d1 = sf_docs.select(F.col("doc_id").alias("id_a"),
+                        F.rpad(F.substring("text", 1, 64), 64, "x").alias("pa"))
+    d2 = sf_docs.select((F.col("doc_id") - 1).alias("id_a"),
+                        F.rpad(F.substring("text", 1, 64), 64, "x").alias("pb"))
+    sec, _ = timed(lambda: d1.join(d2, "id_a")
+                   .select(hamming(F.col("pa"), F.col("pb")).alias("d"))
+                   .agg(F.sum("d")).collect())
+    queries["q5_hamming"] = round(sec, 3)
+
+    total = round(sum(queries.values()), 3)
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for n in (8, 32):
+            s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
+                          shuffle_partitions=n)
+            d = build_docs(s)
+            np_, _, sec = run_scoring_stage(s, d, k)
+            scaling[f"local[{n}]"] = {
+                "pairs": np_, "sec": round(sec, 3),
+                "pairs_per_sec": round(np_ / sec, 1),
+            }
+            s.stop()
+        eff = (scaling["local[32]"]["pairs_per_sec"]
+               / (4 * scaling["local[8]"]["pairs_per_sec"]))
+        extra["scaling"] = {**scaling, "efficiency_8_to_32": round(eff, 3)}
+
+    print(json.dumps({
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "total_sec": total,
+        "queries": queries,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Cluster entry point: run the transcript ER pipeline end-to-end.
+
+Launch (the north-rule deployment shape)::
+
+    spark-submit --py-files triple_accel_spark.zip jobs/resolve_job.py \
+        --input  /path/to/transcripts.parquet \
+        --output /path/to/out \
+        [--checkpoint-dir /path/to/ckpt] [--sim-threshold 0.88] \
+        [--synth N]   # no --input: synthesize N entities (dev/demo)
+
+Writes ``{output}/clusters`` (parquet: id, cluster_id) and
+``{output}/metrics.json``; CC iterations checkpoint under
+``--checkpoint-dir`` and resume from the committed manifest on
+restart.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--sim-threshold", type=float, default=0.88)
+    p.add_argument("--synth", type=int, default=200)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+    spark = SparkSession.builder.appName("triple_accel_spark.resolve").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        from triple_accel_spark.sources.transcripts import generate_transcripts
+
+        tdf, _ = generate_transcripts(n_entities=args.synth, seed=42)
+        transcripts = spark.createDataFrame(tdf)
+
+    t0 = time.time()
+    res = resolve_entities(
+        transcripts,
+        ResolveConfig(
+            sim_threshold=args.sim_threshold, checkpoint_dir=args.checkpoint_dir
+        ),
+    )
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.metrics["wall_sec"] = round(time.time() - t0, 3)
+    with open(f"{args.output}/metrics.json", "w") as f:
+        json.dump(res.metrics, f, indent=2)
+    print(json.dumps(res.metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,53 @@ def minhash_band_keys(
     return F.array(*keys)
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "doc",
+    q: int = 4,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    lowercase: bool = True,
+    out_col: str = "block_key",
+) -> DataFrame:
+    """``(id, block_key)`` — one row per (record, band).
+
+    Scale-first minhash: explode q-gram ROWS (plain ``explode`` +
+    ``substring``, fully codegen — no higher-order functions, whose
+    per-element interpreted eval dominates wall time and whose inlined
+    expression trees blow up codegen), then ONE map-side-combinable
+    ``groupBy(id)`` with ``num_hashes`` ``min(xxhash64(gram, seed))``
+    aggregates. The shuffle carries only (id, 16 longs) regardless of
+    document size; at 10^12 turns this is the only viable shape."""
+    if num_hashes % num_bands:
+        raise ValueError("num_hashes must be divisible by num_bands")
+    band_size = num_hashes // num_bands
+    norm = normalized_text(text_col, lowercase)
+    base = df.select(F.col(id_col).alias("_mid"), norm.alias("_t"))
+    n = F.length("_t")
+    grams = base.select(
+        "_mid",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
+        ).alias("_i"),
+        "_t",
+    ).select("_mid", F.expr(f"substring(_t, _i, {q})").alias("_g"))
+    sig = grams.groupBy("_mid").agg(
+        *[
+            F.min(F.xxhash64("_g", F.lit(s))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"_h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(F.xxhash64(F.lit(b), *cols))
+    return sig.select(
+        F.col("_mid").alias(id_col), F.explode(F.array(*bands)).alias(out_col)
+    )
+
+
 def with_minhash_blocks(
     df: DataFrame,
     text_col: str = "doc",
@@ -74,17 +121,14 @@ def with_minhash_blocks(
     num_bands: int = 8,
     lowercase: bool = True,
     out_col: str = "block_key",
+    id_col: str = "conv_id",
 ) -> DataFrame:
-    """Explode each row into ``num_bands`` rows with a ``block_key``.
-
-    ``num_hashes`` must equal ``num_bands * band_size``.
-    """
-    if num_hashes % num_bands:
-        raise ValueError("num_hashes must be divisible by num_bands")
-    band_size = num_hashes // num_bands
-    sig = minhash_signature(qgrams(normalized_text(text_col, lowercase), q), num_hashes)
-    keys = minhash_band_keys(sig, num_bands, band_size)
-    return df.withColumn(out_col, F.explode(keys))
+    """Explode each row into ``num_bands`` rows with a ``block_key``
+    (band table joined back on ``id_col`` — co-partitioned equi-join)."""
+    keys = minhash_band_table(
+        df, id_col, text_col, q, num_hashes, num_bands, lowercase, out_col
+    )
+    return df.join(keys, id_col)
 
 
 def with_prefix_blocks(

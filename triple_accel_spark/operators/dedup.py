@@ -25,8 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from triple_accel_spark.operators.blocking import (
-    minhash_band_keys,
-    minhash_signature,
+    minhash_band_table,
     normalized_text,
     qgrams,
 )
@@ -79,14 +78,12 @@ def minhash_lsh_duplicates(
     >99% recall at s >= 0.7."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
-    band_size = num_hashes // num_bands
     grams = F.array_distinct(qgrams(normalized_text(text_col), q))
-    base = df.select(
-        F.col(id_col).alias("rid"), grams.alias("grams")
-    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
-    blocked = base.withColumn(
-        "block_key", F.explode(minhash_band_keys(F.col("sig"), num_bands, band_size))
-    )
+    base = df.select(F.col(id_col).alias("rid"), grams.alias("grams"))
+    keys = minhash_band_table(
+        df, id_col, text_col, q=q, num_hashes=num_hashes, num_bands=num_bands
+    ).withColumnRenamed(id_col, "rid")
+    blocked = base.join(keys, "rid")
     pairs = candidate_pairs(
         blocked,
         id_col="rid",

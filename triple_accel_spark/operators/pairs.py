@@ -44,7 +44,10 @@ def candidate_pairs(
     cols = [F.col(id_col).alias("rid"), F.col(block_col).alias("bk")] + [
         F.col(c) for c in payload_cols
     ]
-    recs = blocked.select(*cols)
+    # the self-join consumes this frame three times (size census + left
+    # + right role); persist it so the upstream blocking lineage is
+    # evaluated once, not per-consumer
+    recs = blocked.select(*cols).persist()
 
     # block sizes: one aggregation, joined back (AQE handles the join)
     sizes = recs.groupBy("bk").agg(F.count(F.lit(1)).alias("bsz"))
