@@ -188,6 +188,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("cost"),
         )
 
+    def edit_traceback_adjacent(spark, sf_dir):
+        # RLE edit scripts (reference Edit/EditType) — rows-only;
+        # golden-vector parity is pytest-oracled
+        from triple_accel_spark.functions import edit_traceback
+
+        p = _adjacent_doc_pairs(spark, sf_dir).limit(50)
+        t = p.select(
+            "id_a", "id_b", edit_traceback("text_a", "text_b").alias("trace")
+        )
+        return t.select(
+            "id_a", "id_b",
+            F.size("trace").cast("long").alias("n_runs"),
+            F.aggregate(
+                F.filter("trace", lambda e: e["edit"] != F.lit("match")),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["count"],
+            ).alias("n_edits"),
+        )
+
     def edit_search_docs(spark, sf_dir):
         # semi-global fuzzy search (S4-S6): plant the needle from the
         # doc's own middle, require a hit
@@ -378,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_fixed": hamming_fixed,
         "rdamerau_adjacent": rdamerau_adjacent,
         "edit_costs_adjacent": edit_costs_adjacent,
+        "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
         "hamming_search_docs": hamming_search_docs,
         "exact_dedup_docs": exact_dedup_docs,

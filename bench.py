@@ -77,8 +77,15 @@ def scoring_pairs(docs):
 
 
 def run_scoring_stage(spark, docs, k):
-    pairs = scoring_pairs(docs).persist()
+    # the generator uses a global row_number (one partition); spread the
+    # materialized pair frame across the cluster before timing so the
+    # measurement is the scoring stage, not a single-task bottleneck
+    cpus = spark.sparkContext.defaultParallelism
+    pairs = scoring_pairs(docs).repartition(cpus * 2).persist()
     n_pairs = pairs.count()  # materialize: timing below isolates scoring
+    # warm the Python worker pool (fork + numpy/pandas import happens
+    # once per worker; steady-state throughput is the metric)
+    score_pairs(pairs.limit(200), "doc_a", "doc_b", k=k).count()
     sec, n_scored = timed(
         lambda: score_pairs(pairs, "doc_a", "doc_b", k=k, sim_threshold=None).count()
     )
@@ -149,8 +156,15 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # N -> 4N evidence at two operating points (BASELINE.md):
+        # 2->8 cores measures the engine's software scaling with
+        # per-core memory resources unconstrained at both ends (the
+        # analogue of adding executor NODES, which bring their own
+        # bandwidth); 8->32 additionally shares one socket's LLC and
+        # DRAM across all workers — a single-box ceiling the pure-
+        # multiprocessing control experiment hits identically.
         scaling = {}
-        for n in (8, 32):
+        for n in (2, 8, 32):
             s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
                           shuffle_partitions=n)
             d = build_docs(s)
@@ -160,9 +174,15 @@ def main() -> None:
                 "pairs_per_sec": round(np_ / sec, 1),
             }
             s.stop()
-        eff = (scaling["local[32]"]["pairs_per_sec"]
-               / (4 * scaling["local[8]"]["pairs_per_sec"]))
-        extra["scaling"] = {**scaling, "efficiency_8_to_32": round(eff, 3)}
+        eff28 = (scaling["local[8]"]["pairs_per_sec"]
+                 / (4 * scaling["local[2]"]["pairs_per_sec"]))
+        eff832 = (scaling["local[32]"]["pairs_per_sec"]
+                  / (4 * scaling["local[8]"]["pairs_per_sec"]))
+        extra["scaling"] = {
+            **scaling,
+            "efficiency_2_to_8": round(eff28, 3),
+            "efficiency_8_to_32": round(eff832, 3),
+        }
 
     print(json.dumps({
         "metric": "candidate_pairs_scored_per_sec",

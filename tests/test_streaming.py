@@ -1,0 +1,108 @@
+"""Structured Streaming coverage: the incremental blocking/matching
+path and its key-compatibility invariant with the batch path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from triple_accel_spark.operators.assemble import assemble_documents
+from triple_accel_spark.operators.blocking import (
+    with_minhash_blocks,
+    with_minhash_blocks_expr,
+)
+from triple_accel_spark.sources.transcripts import generate_transcripts
+from triple_accel_spark.streaming.incremental import (
+    stream_block_keys,
+    stream_match_against_index,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx long, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tdf, truth = generate_transcripts(n_entities=40, seed=7)
+    return spark.createDataFrame(tdf), truth
+
+
+def test_expr_and_agg_block_keys_identical(spark, corpus):
+    """The streaming (expression) and batch (aggregation) minhash paths
+    must emit the same (id, block_key) set — the invariant that makes a
+    streamed delta joinable against yesterday's static index."""
+    t, _ = corpus
+    docs = assemble_documents(t)
+    agg_keys = with_minhash_blocks(docs).select("conv_id", "block_key")
+    expr_keys = with_minhash_blocks_expr(docs).select("conv_id", "block_key")
+    assert agg_keys.exceptAll(expr_keys).count() == 0
+    assert expr_keys.exceptAll(agg_keys).count() == 0
+
+
+def test_stream_block_keys_end_to_end(spark, corpus, tmp_path):
+    t, _ = corpus
+    src = str(tmp_path / "turns")
+    # sentinel far in the future: the watermark only passes a session
+    # window once LATER events arrive, so the conversation holding the
+    # max event time would otherwise never close in append mode
+    sentinel = t.limit(1).select(
+        F.lit("zz_sentinel").alias("conv_id"), "turn_idx", "role", "text",
+        "tool", (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    t.union(sentinel).write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    blocked = stream_block_keys(stream, watermark="1 minute")
+    q = (
+        blocked.writeStream.format("memory")
+        .queryName("blocked_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select * from blocked_stream where conv_id != 'zz_sentinel'"
+    )
+    # every conversation surfaces with its full band set
+    n_convs = t.select("conv_id").distinct().count()
+    assert got.select("conv_id").distinct().count() == n_convs
+    # streamed keys == batch keys for conversations whose turns all
+    # landed in one session window (sanity on a sample)
+    batch_keys = with_minhash_blocks(assemble_documents(t)).select(
+        "conv_id", "block_key"
+    )
+    joined = got.select("conv_id", "block_key").exceptAll(batch_keys)
+    assert joined.count() == 0
+
+
+def test_stream_match_against_static_index(spark, corpus, tmp_path):
+    t, truth = corpus
+    docs = assemble_documents(t)
+    index = with_minhash_blocks(docs)  # "yesterday's" full index
+
+    src = str(tmp_path / "turns2")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    blocked = stream_block_keys(stream, watermark="1 minute")
+    matches = stream_match_against_index(
+        blocked, index, k=200, sim_threshold=0.88
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("stream_matches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select least(id_a, id_b) id_a, greatest(id_a, id_b) id_b "
+        "from stream_matches"
+    ).distinct()
+    truth_pairs = spark.createDataFrame(truth).select("id_a", "id_b")
+    # every labeled duplicate pair must be matched by the stream
+    missed = truth_pairs.join(got, ["id_a", "id_b"], "left_anti").count()
+    assert missed == 0

@@ -37,22 +37,41 @@ from triple_accel_spark.kernels.hamming import hamming_batch, hamming_search_bat
 from triple_accel_spark.kernels.myers import myers_batch
 from triple_accel_spark.kernels.search import lev_search_batch
 
-# chunk sizes keep per-chunk NumPy DP matrices comfortably in worker
-# memory regardless of Arrow batch size
-_CHUNK = 4096
+# chunking keeps each kernel call's working set (bit-vector arrays +
+# the (rows, words, 256) pattern table) inside cache: rows*words is
+# bounded, so long strings get narrow chunks and short strings wide
+# ones. Measured on 600-char pairs: a fixed 4096-row chunk runs ~4x
+# slower than an 800-row chunk purely from cache pressure.
+_CHUNK_BUDGET_WORDS = 8192
+_CHUNK_MIN = 64
 _CHUNK_TRACE = 256
 
 MATCH_SCHEMA = "array<struct<start:int,end:int,k:int>>"
 TRACE_SCHEMA = "array<struct<edit:string,count:int>>"
 
 
-def _sorted_chunks(n: int, order_key: np.ndarray, chunk: int):
+def _sorted_chunks(n: int, order_key: np.ndarray, chunk: int | None = None):
     """Yield index arrays: length-sorted chunks (so each kernel call
     loops only to its own chunk's max length), restoring original order
-    via the returned indices."""
+    via the returned indices.
+
+    With ``chunk=None`` the chunk size adapts to string length:
+    ``rows * words(max_len)`` is capped at ``_CHUNK_BUDGET_WORDS``."""
     order = np.argsort(order_key, kind="stable")
-    for i in range(0, n, chunk):
-        yield order[i : i + chunk]
+    if chunk is not None:
+        for i in range(0, n, chunk):
+            yield order[i : i + chunk]
+        return
+    key_sorted = order_key[order]
+    i = 0
+    while i < n:
+        w = max(1, (int(key_sorted[i]) + 63) >> 6)
+        end = min(i + max(_CHUNK_MIN, _CHUNK_BUDGET_WORDS // w), n)
+        # refine with the tentative chunk's own max (keys ascend)
+        w2 = max(1, (int(key_sorted[end - 1]) + 63) >> 6)
+        end = min(i + max(_CHUNK_MIN, _CHUNK_BUDGET_WORDS // w2), n)
+        yield order[i:end]
+        i = end
 
 
 def _lengths(s: pd.Series) -> np.ndarray:
@@ -68,7 +87,7 @@ def _dist_series(a: pd.Series, b: pd.Series, k, costs: EditCosts) -> pd.Series:
     out = np.full(n, np.nan)
     key = np.maximum(_lengths(a), _lengths(b))
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    for idx in _sorted_chunks(n, key, _CHUNK):
+    for idx in _sorted_chunks(n, key):
         ca, cb = av[idx], bv[idx]
         if costs.is_unit:
             d, ok = myers_batch(ca, cb, k)
@@ -90,7 +109,11 @@ def edit_distance(
     def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return _dist_series(sa, sb, k, costs)
 
-    return _udf(a, b)
+    # deterministic in fact, but flagged otherwise so Catalyst never
+    # duplicates the expensive kernel across a pushed-down filter
+    # (a plain UDF referenced by both a projection and an
+    # isnotnull-filter is evaluated TWICE — verified via .explain)
+    return _udf.asNondeterministic()(a, b)
 
 
 def rdamerau(a, b, k: int | None = None) -> Column:
@@ -108,7 +131,7 @@ def hamming(a, b) -> Column:
         d, ok = hamming_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
         return pd.Series(np.where(ok, d.astype(float), np.nan))
 
-    return _udf(a, b)
+    return _udf.asNondeterministic()(a, b)
 
 
 def edit_traceback(a, b, costs: EditCosts = LEVENSHTEIN_COSTS) -> Column:
@@ -150,7 +173,7 @@ def edit_search(
         out = [None] * n
         key = _lengths(sh)
         nv, hv = sn.to_numpy(dtype=object), sh.to_numpy(dtype=object)
-        for idx in _sorted_chunks(n, key, _CHUNK):
+        for idx in _sorted_chunks(n, key):
             res = lev_search_batch(nv[idx], hv[idx], k, search_type, costs, anchored)
             for pos, i in enumerate(idx):
                 if res[pos] is not None:

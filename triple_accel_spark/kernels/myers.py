@@ -29,11 +29,14 @@ _ONE = np.uint64(1)
 _SHIFT63 = np.uint64(63)
 
 
-def _build_peq(a_mat: np.ndarray, a_len: np.ndarray, words: int) -> np.ndarray:
-    """Pattern-match bit table: ``peq[row, word, char]`` has bit ``j%64``
-    set iff ``a[row][j] == char`` for ``j`` in word ``word``."""
+def _build_peq(
+    a_mat: np.ndarray, a_len: np.ndarray, words: int, sigma: int = 256
+) -> np.ndarray:
+    """Pattern-match bit table, word-major ``(word, row, char)``: bit
+    ``j%64`` set iff ``a[row][j] == char`` for ``j`` in word ``word`` —
+    laid out so the per-step gather walks rows sequentially."""
     n = a_mat.shape[0]
-    peq = np.zeros((n, words, 256), dtype=np.uint64)
+    peq = np.zeros((words, n, sigma), dtype=np.uint64)
     total = int(a_len.sum())
     if total == 0:
         return peq
@@ -43,7 +46,7 @@ def _build_peq(a_mat: np.ndarray, a_len: np.ndarray, words: int) -> np.ndarray:
     word = pos >> 6
     bit = (pos & 63).astype(np.uint64)
     chars = a_mat[row_idx, pos]
-    np.bitwise_or.at(peq, (row_idx, word, chars), _ONE << bit)
+    np.bitwise_or.at(peq, (word, row_idx, chars), _ONE << bit)
     return peq
 
 
@@ -63,6 +66,52 @@ def myers_batch(
     return myers_batch_encoded(a_mat, a_len, b_mat, b_len, a_ok & b_ok, k)
 
 
+def _trim_common(a_mat, a_len, b_mat, b_len):
+    """Strip the common prefix and suffix of every pair (exact for unit
+    costs: ``d(Px, Py) = d(x, y)`` and symmetrically for suffixes —
+    near-duplicate pairs, the ER hot path, shrink to their differing
+    core). Returns compacted matrices + lengths."""
+    n = a_mat.shape[0]
+    wa, wb = a_mat.shape[1], b_mat.shape[1]
+    w = min(wa, wb)
+    cols = np.arange(w)
+    minlen = np.minimum(a_len, b_len)
+
+    stop = (a_mat[:, :w] != b_mat[:, :w]) | (cols[None, :] >= minlen[:, None])
+    has = stop.any(axis=1)
+    p = np.where(has, np.argmax(stop, axis=1), w)
+    p = np.minimum(p, minlen)
+
+    rows = np.arange(n)
+    rem = minlen - p
+    ai = np.maximum(a_len[:, None] - 1 - cols[None, :], 0)
+    bi = np.maximum(b_len[:, None] - 1 - cols[None, :], 0)
+    stopr = (a_mat[rows[:, None], ai] != b_mat[rows[:, None], bi]) | (
+        cols[None, :] >= rem[:, None]
+    )
+    hasr = stopr.any(axis=1)
+    s = np.where(hasr, np.argmax(stopr, axis=1), w)
+    s = np.minimum(s, rem)
+
+    na_len = a_len - p - s
+    nb_len = b_len - p - s
+    wa2 = max(int(na_len.max()), 1)
+    wb2 = max(int(nb_len.max()), 1)
+    ca = np.arange(wa2)
+    cb = np.arange(wb2)
+    na = np.where(
+        ca[None, :] < na_len[:, None],
+        a_mat[rows[:, None], np.minimum(p[:, None] + ca[None, :], wa - 1)],
+        0,
+    ).astype(np.uint8)
+    nb = np.where(
+        cb[None, :] < nb_len[:, None],
+        b_mat[rows[:, None], np.minimum(p[:, None] + cb[None, :], wb - 1)],
+        0,
+    ).astype(np.uint8)
+    return na, na_len, nb, nb_len
+
+
 def myers_batch_encoded(
     a_mat: np.ndarray,
     a_len: np.ndarray,
@@ -76,10 +125,14 @@ def myers_batch_encoded(
     Pattern = the shorter string per pair (fewer words); text = the
     longer (edit distance is symmetric). One python-level loop over text
     positions; inner constant-size loop over the (few) 64-bit words.
+    Rows are processed sorted by text length so finished pairs drop out
+    of the working arrays (a shrinking active suffix, not a mask).
     """
     n = a_mat.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+
+    a_mat, a_len, b_mat, b_len = _trim_common(a_mat, a_len, b_mat, b_len)
 
     # swap so pattern is the shorter string (reference swaps too,
     # levenshtein.rs:157-161)
@@ -97,24 +150,38 @@ def myers_batch_encoded(
         )
         a_len, b_len = np.where(swap, b_len, a_len), np.where(swap, a_len, b_len)
 
+    # rows sorted by text length: the i-loop then retires a PREFIX of
+    # rows as i passes their text end, so every step operates on a
+    # contiguous active slice instead of masking the whole batch
+    order = np.argsort(b_len, kind="stable")
+    a_mat, b_mat = a_mat[order], b_mat[order]
+    a_len, b_len = a_len[order], b_len[order]
+
     m_max = int(a_len.max()) if n else 0
     n_max = int(b_len.max()) if n else 0
-    dist = np.zeros(n, dtype=np.int64)
+    score = a_len.astype(np.int64).copy()
 
-    if m_max == 0:
-        dist[:] = b_len
-    else:
+    if m_max > 0:
+        # dense alphabet remap: the peq table is gathered once per text
+        # position, so its footprint dominates cache behaviour — remap
+        # the chunk's live bytes to 0..sigma so the table shrinks from
+        # 256 columns to sigma+1 (ASCII corpora: ~95)
+        lut = np.zeros(256, dtype=np.uint8)
+        present = np.union1d(np.unique(a_mat), np.unique(b_mat))
+        lut[present] = np.arange(len(present), dtype=np.uint8)
+        a_mat = lut[a_mat]
+        b_mat = lut[b_mat]
+
         words = (m_max + 63) >> 6
-        peq = _build_peq(a_mat, a_len, words)
+        sigma = int(len(present))
+        peq = _build_peq(a_mat, a_len, words, sigma)  # (words, n, sigma)
 
-        vp = np.zeros((n, words), dtype=np.uint64)
-        vn = np.zeros((n, words), dtype=np.uint64)
-        # valid pattern bits start as VP=1 (column 0 scores 0..m)
         wrange = np.arange(words)
-        bits_in_word = np.clip(a_len[:, None] - (wrange[None, :] << 6), 0, 64)
-        full = bits_in_word >= 64
+        bits_in_word = np.clip(a_len[None, :] - (wrange[:, None] << 6), 0, 64)
+        # word-major (words, n): each word's lane is contiguous, so the
+        # inner loop reads/writes whole cache-resident vectors
         vp = np.where(
-            full,
+            bits_in_word >= 64,
             _ONES,
             np.where(
                 bits_in_word > 0,
@@ -122,64 +189,112 @@ def myers_batch_encoded(
                 np.uint64(0),
             ),
         )
+        vn = np.zeros((words, n), dtype=np.uint64)
+        bT = np.ascontiguousarray(b_mat.T)  # text chars, position-major
 
-        score = a_len.astype(np.int64).copy()
         hi_word = np.maximum(a_len - 1, 0) >> 6
         hi_bit = (np.maximum(a_len - 1, 0) & 63).astype(np.uint64)
-        row_ar = np.arange(n)
+        row_ar = np.arange(n, dtype=np.int64)
+        sel_w = [hi_word == w for w in range(words)]
         empty_pat = a_len == 0
+        score = np.where(empty_pat, b_len.astype(np.int64), score)
+
+        # preallocated buffers: the whole inner loop runs without a
+        # single heap allocation (allocation churn, not compute, was
+        # the profiled bottleneck at high worker counts)
+        U = [np.empty(n, dtype=np.uint64) for _ in range(11)]
+        (b_eq, b_x, b_t, b_s, b_d0, b_hp, b_hn, b_x2, b_hs, b_cp, b_cn) = U
+        add_c = np.empty(n, dtype=np.uint64)
+        hi_hp = np.empty(n, dtype=np.uint64)
+        hi_hn = np.empty(n, dtype=np.uint64)
+        d64 = np.empty(n, dtype=np.int64)
+        bb0 = np.empty(n, dtype=bool)
+        bb1 = np.empty(n, dtype=bool)
+        fidx = np.empty(n, dtype=np.int64)
 
         for i in range(n_max):
-            active = (i < b_len) & ~empty_pat
-            if not active.any():
+            # retire rows whose text is exhausted (b_len <= i):
+            # rows are b_len-sorted, so the active set is a suffix
+            lo = int(np.searchsorted(b_len, i, side="right"))
+            if lo >= n:
                 break
-            c = b_mat[:, i]
-            eq = peq[row_ar[:, None], wrange[None, :], c[:, None]]  # (n, words)
+            m = n - lo
+            sl = slice(lo, n)
+            fi = fidx[:m]
+            np.multiply(row_ar[sl], sigma, out=fi)
+            fi += bT[i, sl]
 
-            add_carry = np.zeros(n, dtype=np.uint64)
-            hp_carry = np.ones(n, dtype=np.uint64)  # boundary: row 0 grows by 1
-            hn_carry = np.zeros(n, dtype=np.uint64)
-            new_vp = vp.copy()
-            new_vn = vn.copy()
-            hp_words = np.zeros((n, words), dtype=np.uint64)
-            hn_words = np.zeros((n, words), dtype=np.uint64)
+            ac = add_c[:m]
+            ac.fill(0)
+            hpc = b_cp[:m]
+            hpc.fill(1)
+            hnc = b_cn[:m]
+            hnc.fill(0)
+            hh_p = hi_hp[:m]
+            hh_n = hi_hn[:m]
+            eqw = b_eq[:m]
+            x = b_x[:m]
+            t = b_t[:m]
+            s = b_s[:m]
+            d0 = b_d0[:m]
+            hp = b_hp[:m]
+            hn = b_hn[:m]
+            x2 = b_x2[:m]
+            hs = b_hs[:m]
+            c1 = bb0[:m]
+            c2 = bb1[:m]
 
             for w in range(words):
-                eqw = eq[:, w]
-                vpw = vp[:, w]
-                vnw = vn[:, w]
-                x = eqw | vnw
-                t = x & vpw
-                s1 = vpw + t
-                c1 = s1 < t
-                s2 = s1 + add_carry
-                c2 = s2 < add_carry
-                add_carry = (c1 | c2).astype(np.uint64)
-                d0 = (s2 ^ vpw) | x
-                hp = vnw | ~(vpw | d0)
-                hn = vpw & d0
-                hp_words[:, w] = hp
-                hn_words[:, w] = hn
-                hp_out = hp >> _SHIFT63
-                hn_out = hn >> _SHIFT63
-                x2 = (hp << _ONE) | hp_carry
-                hn_sh = (hn << _ONE) | hn_carry
-                new_vn[:, w] = x2 & d0
-                new_vp[:, w] = hn_sh | ~(x2 | d0)
-                hp_carry = hp_out
-                hn_carry = hn_out
+                np.take(peq[w].reshape(-1), fi, out=eqw, mode="clip")
+                vpw = vp[w, sl]
+                vnw = vn[w, sl]
+                np.bitwise_or(eqw, vnw, out=x)
+                np.bitwise_and(x, vpw, out=t)
+                np.add(vpw, t, out=s)
+                np.less(s, t, out=c1)
+                np.add(s, ac, out=s)
+                np.less(s, ac, out=c2)
+                np.logical_or(c1, c2, out=c1)
+                np.copyto(ac, c1, casting="unsafe")
+                np.bitwise_xor(s, vpw, out=d0)
+                np.bitwise_or(d0, x, out=d0)
+                np.bitwise_or(vpw, d0, out=hp)
+                np.invert(hp, out=hp)
+                np.bitwise_or(vnw, hp, out=hp)
+                np.bitwise_and(vpw, d0, out=hn)
+                sel = sel_w[w]
+                if w == 0 and words == 1:
+                    np.copyto(hh_p, hp)
+                    np.copyto(hh_n, hn)
+                else:
+                    np.copyto(hh_p, hp, where=sel[sl])
+                    np.copyto(hh_n, hn, where=sel[sl])
+                np.left_shift(hp, _ONE, out=x2)
+                np.bitwise_or(x2, hpc, out=x2)
+                np.left_shift(hn, _ONE, out=hs)
+                np.bitwise_or(hs, hnc, out=hs)
+                np.right_shift(hp, _SHIFT63, out=hpc)
+                np.right_shift(hn, _SHIFT63, out=hnc)
+                np.bitwise_and(x2, d0, out=vn[w, sl])
+                np.bitwise_or(x2, d0, out=x)
+                np.invert(x, out=x)
+                np.bitwise_or(hs, x, out=vp[w, sl])
 
-            delta = (
-                (hp_words[row_ar, hi_word] >> hi_bit) & _ONE
-            ).astype(np.int64) - (
-                (hn_words[row_ar, hi_word] >> hi_bit) & _ONE
-            ).astype(np.int64)
-            score = np.where(active, score + delta, score)
-            act2 = active[:, None]
-            vp = np.where(act2, new_vp, vp)
-            vn = np.where(act2, new_vn, vn)
+            hb = hi_bit[sl]
+            dd = d64[:m]
+            np.right_shift(hh_p, hb, out=hh_p)
+            np.bitwise_and(hh_p, _ONE, out=hh_p)
+            np.copyto(dd, hh_p, casting="unsafe")
+            np.right_shift(hh_n, hb, out=hh_n)
+            np.bitwise_and(hh_n, _ONE, out=hh_n)
+            dd -= hh_n.view(np.int64)
+            np.copyto(dd, 0, where=empty_pat[sl], casting="unsafe")
+            score[sl] += dd
 
-        dist = np.where(empty_pat, b_len.astype(np.int64), score)
+    # restore caller order
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    dist = score[inv]
 
     ok = valid.copy()
     if k is not None:

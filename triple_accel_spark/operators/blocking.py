@@ -58,11 +58,17 @@ def minhash_band_keys(
 ) -> Column:
     """LSH band keys: hash each ``band_size`` slice of the signature;
     array<bigint> of length ``num_bands``. Band index is mixed in so
-    keys from different bands never collide."""
+    keys from different bands never collide. Hash layout matches
+    ``minhash_band_table`` exactly (``xxhash64(band, h0, h1, ...)``
+    over bigint args) so expression-path keys (streaming) and
+    aggregation-path keys (batch) are interchangeable."""
     keys = []
     for b in range(num_bands):
-        sl = F.slice(signature, b * band_size + 1, band_size)
-        keys.append(F.xxhash64(F.lit(b), F.concat_ws("_", F.transform(sl, lambda x: x.cast("string")))))
+        elems = [
+            F.element_at(signature, b * band_size + i + 1)
+            for i in range(band_size)
+        ]
+        keys.append(F.xxhash64(F.lit(b), *elems))
     return F.array(*keys)
 
 
@@ -129,6 +135,30 @@ def with_minhash_blocks(
         df, id_col, text_col, q, num_hashes, num_bands, lowercase, out_col
     )
     return df.join(keys, id_col)
+
+
+def with_minhash_blocks_expr(
+    df: DataFrame,
+    text_col: str = "doc",
+    q: int = 4,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    lowercase: bool = True,
+    out_col: str = "block_key",
+) -> DataFrame:
+    """Pure-Column-expression variant of ``with_minhash_blocks`` —
+    produces IDENTICAL keys (same gram set, same hash layout) with no
+    aggregation or join, so it composes with Structured Streaming
+    (a streaming query allows at most one aggregation) and with
+    already-aggregated frames. Slower per row at batch scale (Spark
+    higher-order functions evaluate interpreted); prefer the
+    aggregation path for large batch jobs."""
+    if num_hashes % num_bands:
+        raise ValueError("num_hashes must be divisible by num_bands")
+    band_size = num_hashes // num_bands
+    sig = minhash_signature(qgrams(normalized_text(text_col, lowercase), q), num_hashes)
+    keys = minhash_band_keys(sig, num_bands, band_size)
+    return df.withColumn(out_col, F.explode(keys))
 
 
 def with_prefix_blocks(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from triple_accel_spark.operators.blocking import with_minhash_blocks
+from triple_accel_spark.operators.blocking import with_minhash_blocks_expr
 from triple_accel_spark.operators.scoring import score_pairs
 
 
@@ -52,7 +52,14 @@ def stream_block_keys(
         )
         .select("conv_id", "doc")
     )
-    return with_minhash_blocks(docs, "doc", q=q, num_hashes=num_hashes, num_bands=num_bands)
+    # expression-path keys: a streaming query permits one aggregation
+    # (the session-window assembly above), so block keys must be pure
+    # projections — with_minhash_blocks_expr emits keys bit-identical
+    # to the batch aggregation path, which is what makes the
+    # stream-vs-static-index join below correct
+    return with_minhash_blocks_expr(
+        docs, "doc", q=q, num_hashes=num_hashes, num_bands=num_bands
+    )
 
 
 def stream_match_against_index(
