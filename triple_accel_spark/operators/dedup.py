@@ -24,11 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from triple_accel_spark.operators.blocking import (
-    minhash_band_table,
-    normalized_text,
-    qgrams,
-)
+from triple_accel_spark.operators.blocking import normalized_text, qgrams
 from triple_accel_spark.operators.pairs import candidate_pairs
 
 
@@ -78,21 +74,52 @@ def minhash_lsh_duplicates(
     >99% recall at s >= 0.7."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
-    grams = F.array_distinct(qgrams(normalized_text(text_col), q))
-    base = df.select(F.col(id_col).alias("rid"), grams.alias("grams"))
-    keys = minhash_band_table(
-        df, id_col, text_col, q=q, num_hashes=num_hashes, num_bands=num_bands
-    ).withColumnRenamed(id_col, "rid")
-    blocked = base.join(keys, "rid")
+    band_size = num_hashes // num_bands
+    norm = normalized_text(text_col)
+    base = df.select(F.col(id_col).alias("rid"), norm.alias("_t"))
+    n = F.length("_t")
+    # ONE explode + ONE aggregation produces both the minhash signature
+    # (band keys) and the doc's hashed gram SET used for exact-Jaccard
+    # verification — grams are 64-bit hashes, so set intersections are
+    # long-array ops instead of string-array ops (~10x cheaper), and
+    # the band self-join shuffles bare ids only
+    gram_rows = base.select(
+        "rid",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
+        ).alias("_i"),
+        "_t",
+    ).select("rid", F.expr(f"substring(_t, _i, {q})").alias("_g"))
+    per_doc = gram_rows.groupBy("rid").agg(
+        *[
+            F.min(F.xxhash64("_g", F.lit(s))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ],
+        F.collect_set(F.xxhash64("_g", F.lit(-1))).alias("gset"),
+    ).persist()
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"_h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(F.xxhash64(F.lit(b), *cols))
+    blocked = per_doc.select(
+        "rid", F.explode(F.array(*bands)).alias("block_key")
+    )
     pairs = candidate_pairs(
         blocked,
         id_col="rid",
         block_col="block_key",
-        payload_cols=("grams",),
+        payload_cols=(),
         max_block_size=max_block_size,
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
+    gsets = per_doc.select("rid", "gset")
+    pairs = (
+        pairs.join(gsets.withColumnRenamed("rid", "id_a"), "id_a")
+        .withColumnRenamed("gset", "gset_a")
+        .join(gsets.withColumnRenamed("rid", "id_b"), "id_b")
+        .withColumnRenamed("gset", "gset_b")
+    )
+    inter = F.size(F.array_intersect("gset_a", "gset_b"))
+    union = F.size(F.array_union("gset_a", "gset_b"))
     return (
         pairs.withColumn(
             "jaccard",

@@ -113,13 +113,16 @@ def candidate_pairs(
 
     if dedupe:
         # a pair found by several bands must be scored once
-        pairs = pairs.groupBy("id_a", "id_b").agg(
-            *[
-                F.first(f"{c}_{s}").alias(f"{c}_{s}")
-                for c in payload_cols
-                for s in ("a", "b")
-            ]
-        )
+        if payload_cols:
+            pairs = pairs.groupBy("id_a", "id_b").agg(
+                *[
+                    F.first(f"{c}_{s}").alias(f"{c}_{s}")
+                    for c in payload_cols
+                    for s in ("a", "b")
+                ]
+            )
+        else:
+            pairs = pairs.distinct()
     return pairs
 
 
