@@ -112,6 +112,9 @@ def main() -> None:
     extra["pairs_per_sec"] = round(pairs_per_sec, 1)
 
     # q2: full ER pipeline (block -> join -> score -> threshold -> CC)
+    spark.catalog.clearCache()  # drop q1's persisted frames
+    docs = build_docs(spark)
+
     def er():
         blocked = with_minhash_blocks(docs)
         cand = candidate_pairs(blocked, id_col="conv_id", block_col="block_key",
@@ -125,6 +128,7 @@ def main() -> None:
     extra["er_records"] = n_clustered
 
     # q3: minhash LSH dedup over the sf documents table
+    spark.catalog.clearCache()
     sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sec, _ = timed(lambda: minhash_lsh_duplicates(
         sf_docs, "text", "doc_id", jaccard_threshold=0.5).count())
@@ -163,15 +167,22 @@ def main() -> None:
         # bandwidth); 8->32 additionally shares one socket's LLC and
         # DRAM across all workers — a single-box ceiling the pure-
         # multiprocessing control experiment hits identically.
+        global PAIR_FANOUT
+        PAIR_FANOUT = 100  # ~5x the headline pair set: each scaling
+        # point needs enough kernel work that fixed per-job costs are
+        # noise (tiny jobs invert the comparison entirely)
         scaling = {}
         for n in (2, 8, 32):
             s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
                           shuffle_partitions=n)
             d = build_docs(s)
-            np_, _, sec = run_scoring_stage(s, d, k)
+            best = None
+            for _ in range(2):  # best-of-2: steady state, not fork storm
+                np_, _, sec = run_scoring_stage(s, d, k)
+                best = sec if best is None else min(best, sec)
             scaling[f"local[{n}]"] = {
-                "pairs": np_, "sec": round(sec, 3),
-                "pairs_per_sec": round(np_ / sec, 1),
+                "pairs": np_, "sec": round(best, 3),
+                "pairs_per_sec": round(np_ / best, 1),
             }
             s.stop()
         eff28 = (scaling["local[8]"]["pairs_per_sec"]

@@ -82,13 +82,35 @@ def _lengths(s: pd.Series) -> np.ndarray:
     )
 
 
-def _dist_series(a: pd.Series, b: pd.Series, k, costs: EditCosts) -> pd.Series:
+def _translate_objs(ca, cb):
+    """Codepoint-dictionary rewrite (reference translate_str): both
+    sides of each pair re-expressed as u8-symbol byte strings; pairs
+    with >256 distinct codepoints become (None, None) -> NULL."""
+    from triple_accel_spark.kernels.encode import translate_batch
+
+    am, al, bm, bl, ok = translate_batch(ca, cb)
+    ta = np.empty(len(ca), dtype=object)
+    tb = np.empty(len(cb), dtype=object)
+    for i in range(len(ca)):
+        if ok[i]:
+            ta[i] = am[i, : al[i]].tobytes()
+            tb[i] = bm[i, : bl[i]].tobytes()
+        else:
+            ta[i] = tb[i] = None
+    return ta, tb
+
+
+def _dist_series(
+    a: pd.Series, b: pd.Series, k, costs: EditCosts, unicode: bool = False
+) -> pd.Series:
     n = len(a)
     out = np.full(n, np.nan)
     key = np.maximum(_lengths(a), _lengths(b))
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
     for idx in _sorted_chunks(n, key):
         ca, cb = av[idx], bv[idx]
+        if unicode:
+            ca, cb = _translate_objs(ca, cb)
         if costs.is_unit:
             d, ok = myers_batch(ca, cb, k)
         else:
@@ -99,15 +121,23 @@ def _dist_series(a: pd.Series, b: pd.Series, k, costs: EditCosts) -> pd.Series:
 
 
 def edit_distance(
-    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS
+    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS,
+    unicode: bool = False,
 ) -> Column:
     """Generalized edit distance column; NULL where distance > ``k`` or
     an input is NULL. Unit costs dispatch to the Myers bit-parallel
-    kernel; any other cost model uses the generalized DP kernel."""
+    kernel; any other cost model uses the generalized DP kernel.
+
+    ``unicode=False`` scores raw UTF-8 BYTES (the reference's u8
+    semantics, lib.rs:41-44); ``unicode=True`` scores per CODEPOINT via
+    a per-pair ≤256-symbol dictionary (the reference's
+    ``levenshtein_simd_k_str``/``translate_str`` adapter,
+    levenshtein.rs:609-651), yielding NULL where the alphabet
+    overflows, as the reference returns ``None``."""
 
     @pandas_udf("int")
     def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return _dist_series(sa, sb, k, costs)
+        return _dist_series(sa, sb, k, costs, unicode)
 
     # deterministic in fact, but flagged otherwise so Catalyst never
     # duplicates the expensive kernel across a pushed-down filter

@@ -45,6 +45,52 @@ def to_bytes_list(rows: Sequence) -> tuple[list[bytes], np.ndarray]:
     return out, valid
 
 
+def translate_batch(
+    a_rows: Sequence, b_rows: Sequence
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Codepoint-dictionary encoding of two str columns — the analogue
+    of the reference's ``translate_str`` (levenshtein.rs:609-624):
+    each pair's distinct CODEPOINTS are mapped to u8 symbols; pairs
+    whose combined alphabet exceeds 256 are flagged invalid (the
+    reference returns ``None``). Distances are then per-character, not
+    per-UTF-8-byte.
+
+    Returns ``(a_mat, a_len, b_mat, b_len, valid)``. Each pair gets its
+    own dictionary (the kernels only test symbol equality WITHIN a row,
+    so per-row alphabets compose with batch vectorization). This is the
+    rare-path encoder: it loops per row, unlike ``encode_batch``.
+    """
+    n = len(a_rows)
+    a_cp = [None] * n
+    b_cp = [None] * n
+    valid = np.ones(n, dtype=bool)
+    for i in range(n):
+        a, b = a_rows[i], b_rows[i]
+        if not isinstance(a, str) or not isinstance(b, str):
+            valid[i] = False
+            a_cp[i] = b_cp[i] = np.zeros(0, dtype=np.int64)
+            continue
+        a_cp[i] = np.fromiter((ord(c) for c in a), dtype=np.int64, count=len(a))
+        b_cp[i] = np.fromiter((ord(c) for c in b), dtype=np.int64, count=len(b))
+        if len(np.union1d(a_cp[i], b_cp[i])) > 256:
+            valid[i] = False  # reference: translate_str -> None
+    a_len = np.fromiter((len(x) for x in a_cp), dtype=np.int64, count=n)
+    b_len = np.fromiter((len(x) for x in b_cp), dtype=np.int64, count=n)
+    w_a, w_b = max(int(a_len.max()) if n else 0, 1), max(int(b_len.max()) if n else 0, 1)
+    a_mat = np.zeros((n, w_a), dtype=np.uint8)
+    b_mat = np.zeros((n, w_b), dtype=np.uint8)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        # per-pair dictionary keeps every pair within u8 independently
+        alphabet, inv_a = np.unique(
+            np.concatenate((a_cp[i], b_cp[i])), return_inverse=True
+        )
+        a_mat[i, : a_len[i]] = inv_a[: a_len[i]].astype(np.uint8)
+        b_mat[i, : b_len[i]] = inv_a[a_len[i] :].astype(np.uint8)
+    return a_mat, a_len, b_mat, b_len, valid
+
+
 def encode_batch(rows: Sequence) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Encode a batch into ``(mat, lengths, valid)``.
 
