@@ -26,6 +26,8 @@ def main() -> None:
     p.add_argument("--input", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics-dir", default=None)
+    p.add_argument("--run-id", default="run0")
     p.add_argument("--sim-threshold", type=float, default=0.88)
     p.add_argument("--synth", type=int, default=200)
     args = p.parse_args()
@@ -49,7 +51,10 @@ def main() -> None:
     res = resolve_entities(
         transcripts,
         ResolveConfig(
-            sim_threshold=args.sim_threshold, checkpoint_dir=args.checkpoint_dir
+            sim_threshold=args.sim_threshold,
+            checkpoint_dir=args.checkpoint_dir,
+            metrics_dir=args.metrics_dir,
+            run_id=args.run_id,
         ),
     )
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")

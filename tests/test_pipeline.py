@@ -140,12 +140,22 @@ def test_end_to_end_f1(spark, tmp_path):
     transcripts = spark.createDataFrame(tdf).repartition(8)
     truth = spark.createDataFrame(truth_pdf)
 
-    cfg = ResolveConfig(checkpoint_dir=str(tmp_path / "cc"))
+    cfg = ResolveConfig(
+        checkpoint_dir=str(tmp_path / "cc"),
+        metrics_dir=str(tmp_path / "lineage"),
+        run_id="t1",
+    )
     res = resolve_entities(transcripts, cfg)
 
     # pair-level F1 of the match decision
     f1 = pairwise_f1(res.matches, truth)
     assert f1["f1"] >= 0.99, f1
+
+    # per-partition lineage rows committed for every stage
+    lin = spark.read.parquet(str(tmp_path / "lineage"))
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"docs", "pairs_scored", "matches", "clusters"}
+    assert res.metrics["lineage_docs"]["n_rows"] == res.metrics["n_docs"]
 
     # cluster-level: predicted clusters induce pairs; compare those too
     cl = res.clusters.alias("l").join(

@@ -40,6 +40,8 @@ class ResolveConfig:
     costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
     checkpoint_dir: str | None = None
     cc_max_iter: int = 25
+    metrics_dir: str | None = None  # per-partition lineage sink
+    run_id: str = "run0"
 
 
 @dataclass
@@ -57,8 +59,17 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     cfg = cfg or ResolveConfig()
     metrics: dict = {}
 
+    def commit(df, stage, **kw):
+        if cfg.metrics_dir:
+            from triple_accel_spark.operators.lineage import commit_stage_metrics
+
+            metrics[f"lineage_{stage}"] = commit_stage_metrics(
+                df, stage, cfg.metrics_dir, run_id=cfg.run_id, **kw
+            )
+
     docs = assemble_documents(transcripts).cache()
     metrics["n_docs"] = docs.count()
+    commit(docs, "docs", size_col="doc", id_col="conv_id")
 
     # distance budget scaled to the corpus: k such that sim_threshold is
     # reachable for the longest docs (the per-pair normalized threshold
@@ -89,9 +100,11 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
         sim_threshold=None,
     ).cache()
     metrics["n_pairs_scored"] = scored.count()
+    commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
 
     matches = scored.where(F.col("sim") >= cfg.sim_threshold).cache()
     metrics["n_matches"] = matches.count()
+    commit(matches, "matches", id_col="id_a")
 
     labels = connected_components(
         matches.select("id_a", "id_b"),
@@ -101,5 +114,6 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     clusters = attach_singletons(labels, docs, "conv_id").cache()
     metrics["n_records"] = clusters.count()
     metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
+    commit(clusters, "clusters", id_col="id")
 
     return ResolveResult(docs, scored, matches, clusters, metrics)
