@@ -28,6 +28,21 @@ _ONES = np.uint64(0xFFFFFFFFFFFFFFFF)
 _ONE = np.uint64(1)
 _SHIFT63 = np.uint64(63)
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+_S56 = np.uint64(56)
+
+
+def _popcnt64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 arrays (numpy<2 lacks
+    ``bitwise_count``)."""
+    x = x - ((x >> _ONE) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> _S56).astype(np.int64)
+
 
 def _build_peq(
     a_mat: np.ndarray, a_len: np.ndarray, words: int, sigma: int = 256
@@ -159,7 +174,9 @@ def myers_batch_encoded(
 
     m_max = int(a_len.max()) if n else 0
     n_max = int(b_len.max()) if n else 0
-    score = a_len.astype(np.int64).copy()
+    # empty-pattern rows: distance is the text length — set here (not
+    # inside the DP block) so an all-empty-pattern chunk is also right
+    score = np.where(a_len == 0, b_len, a_len).astype(np.int64)
 
     if m_max > 0:
         # dense alphabet remap: the peq table is gathered once per text
@@ -197,7 +214,6 @@ def myers_batch_encoded(
         row_ar = np.arange(n, dtype=np.int64)
         sel_w = [hi_word == w for w in range(words)]
         empty_pat = a_len == 0
-        score = np.where(empty_pat, b_len.astype(np.int64), score)
 
         # preallocated buffers: the whole inner loop runs without a
         # single heap allocation (allocation churn, not compute, was
@@ -212,12 +228,10 @@ def myers_batch_encoded(
         bb1 = np.empty(n, dtype=bool)
         fidx = np.empty(n, dtype=np.int64)
 
-        for i in range(n_max):
-            # retire rows whose text is exhausted (b_len <= i):
-            # rows are b_len-sorted, so the active set is a suffix
-            lo = int(np.searchsorted(b_len, i, side="right"))
-            if lo >= n:
-                break
+        def step(i: int, lo: int, wlo: int, whi: int, capture_hi: bool):
+            """One text position over the active suffix [lo:), words
+            [wlo, whi]. Returns final (hp_carry, hn_carry) out of word
+            ``whi`` — the horizontal delta at that word's bottom row."""
             m = n - lo
             sl = slice(lo, n)
             fi = fidx[:m]
@@ -227,7 +241,7 @@ def myers_batch_encoded(
             ac = add_c[:m]
             ac.fill(0)
             hpc = b_cp[:m]
-            hpc.fill(1)
+            hpc.fill(1)  # boundary/below-band: cost grows by 1 per char
             hnc = b_cn[:m]
             hnc.fill(0)
             hh_p = hi_hp[:m]
@@ -244,7 +258,7 @@ def myers_batch_encoded(
             c1 = bb0[:m]
             c2 = bb1[:m]
 
-            for w in range(words):
+            for w in range(wlo, whi + 1):
                 np.take(peq[w].reshape(-1), fi, out=eqw, mode="clip")
                 vpw = vp[w, sl]
                 vnw = vn[w, sl]
@@ -262,13 +276,14 @@ def myers_batch_encoded(
                 np.invert(hp, out=hp)
                 np.bitwise_or(vnw, hp, out=hp)
                 np.bitwise_and(vpw, d0, out=hn)
-                sel = sel_w[w]
-                if w == 0 and words == 1:
-                    np.copyto(hh_p, hp)
-                    np.copyto(hh_n, hn)
-                else:
-                    np.copyto(hh_p, hp, where=sel[sl])
-                    np.copyto(hh_n, hn, where=sel[sl])
+                if capture_hi:
+                    sel = sel_w[w]
+                    if w == 0 and words == 1:
+                        np.copyto(hh_p, hp)
+                        np.copyto(hh_n, hn)
+                    else:
+                        np.copyto(hh_p, hp, where=sel[sl])
+                        np.copyto(hh_n, hn, where=sel[sl])
                 np.left_shift(hp, _ONE, out=x2)
                 np.bitwise_or(x2, hpc, out=x2)
                 np.left_shift(hn, _ONE, out=hs)
@@ -279,17 +294,111 @@ def myers_batch_encoded(
                 np.bitwise_or(x2, d0, out=x)
                 np.invert(x, out=x)
                 np.bitwise_or(hs, x, out=vp[w, sl])
+            return hpc, hnc
 
-            hb = hi_bit[sl]
-            dd = d64[:m]
-            np.right_shift(hh_p, hb, out=hh_p)
-            np.bitwise_and(hh_p, _ONE, out=hh_p)
-            np.copyto(dd, hh_p, casting="unsafe")
-            np.right_shift(hh_n, hb, out=hh_n)
-            np.bitwise_and(hh_n, _ONE, out=hh_n)
-            dd -= hh_n.view(np.int64)
-            np.copyto(dd, 0, where=empty_pat[sl], casting="unsafe")
-            score[sl] += dd
+        kmax = None
+        if k is not None:
+            kmax = int(np.max(k)) if isinstance(k, np.ndarray) else int(k)
+            if kmax < 0:
+                kmax = 0
+        # banded mode (Ukkonen window over Myers blocks, as published in
+        # edlib): only words intersecting the |i-j|<=k diagonal band are
+        # computed; cells inside the band stay exact, so the k-bounded
+        # contract (exact dist iff dist<=k, else invalid) is preserved
+        # while work per text position drops from `words` to ~2k/64+2
+        use_band = kmax is not None and ((2 * kmax) >> 6) + 2 < words
+
+        if use_band:
+            whi_cur = min(words - 1, kmax >> 6)
+            bscore = np.minimum(
+                np.int64(64) * np.int64(whi_cur + 1), a_len
+            ).astype(np.int64)
+            len_bad = (b_len - a_len) > kmax
+
+            def retire(r0: int, r1: int, whi_r: int) -> None:
+                """Convert bottom-of-window scores to pattern-end cells
+                for rows [r0, r1): subtract the vertical vp/vn deltas
+                between the pattern end and the window bottom."""
+                if r0 >= r1:
+                    return
+                sl_r = slice(r0, r1)
+                hw = hi_word[sl_r]
+                hb = hi_bit[sl_r]
+                mask = np.where(
+                    hb >= _SHIFT63,
+                    np.uint64(0),
+                    _ONES << ((hb + _ONE) & _SHIFT63),
+                )
+                corr = np.zeros(r1 - r0, dtype=np.int64)
+                for W in range(0, whi_r + 1):
+                    vpw = vp[W, sl_r]
+                    vnw = vn[W, sl_r]
+                    at = hw == W
+                    if at.any():
+                        corr += np.where(
+                            at,
+                            _popcnt64(vpw & mask) - _popcnt64(vnw & mask),
+                            0,
+                        )
+                    above = hw < W
+                    if above.any():
+                        corr += np.where(
+                            above, _popcnt64(vpw) - _popcnt64(vnw), 0
+                        )
+                res = bscore[sl_r] - corr
+                score[sl_r] = np.where(
+                    empty_pat[sl_r],
+                    score[sl_r],
+                    np.where(len_bad[sl_r], np.int64(kmax + 1), res),
+                )
+
+            lo = 0
+            for i in range(n_max):
+                lo_new = int(np.searchsorted(b_len, i, side="right"))
+                if lo_new > lo:
+                    retire(lo, lo_new, whi_cur)
+                    lo = lo_new
+                if lo >= n:
+                    break
+                wlo = max(0, (i - kmax) >> 6)
+                whi = min(words - 1, (i + kmax) >> 6)
+                if whi > whi_cur:
+                    # window slid down: extend the bottom-of-window
+                    # score over the (still column-initial) new words
+                    for W in range(whi_cur + 1, whi + 1):
+                        bscore[lo:] += _popcnt64(vp[W, lo:]) - _popcnt64(
+                            vn[W, lo:]
+                        )
+                    whi_cur = whi
+                hpc, hnc = step(i, lo, wlo, whi, capture_hi=False)
+                dd = d64[: n - lo]
+                np.copyto(dd, hpc, casting="unsafe")
+                dd -= hnc.view(np.int64)
+                bscore[lo:] += dd
+            retire(lo, n, whi_cur)
+        else:
+            for i in range(n_max):
+                # retire rows whose text is exhausted (b_len <= i):
+                # rows are b_len-sorted, so the active set is a suffix
+                lo = int(np.searchsorted(b_len, i, side="right"))
+                if lo >= n:
+                    break
+                m = n - lo
+                sl = slice(lo, n)
+                step(i, lo, 0, words - 1, capture_hi=True)
+
+                hh_p = hi_hp[:m]
+                hh_n = hi_hn[:m]
+                hb = hi_bit[sl]
+                dd = d64[:m]
+                np.right_shift(hh_p, hb, out=hh_p)
+                np.bitwise_and(hh_p, _ONE, out=hh_p)
+                np.copyto(dd, hh_p, casting="unsafe")
+                np.right_shift(hh_n, hb, out=hh_n)
+                np.bitwise_and(hh_n, _ONE, out=hh_n)
+                dd -= hh_n.view(np.int64)
+                np.copyto(dd, 0, where=empty_pat[sl], casting="unsafe")
+                score[sl] += dd
 
     # restore caller order
     inv = np.empty(n, dtype=np.int64)
