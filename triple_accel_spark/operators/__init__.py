@@ -13,4 +13,6 @@
                 fingerprinting.
 ``multimodal``  binary-column (image/audio) plumbing with stubbed
                 decoders.
+``lineage``     per-partition lineage/metrics census committed per
+                checkpoint (idempotent parquet sink).
 """
