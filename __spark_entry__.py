@@ -253,6 +253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "text", "doc_id", jaccard_threshold=0.5
         )
 
+    def dedup_near_docs(spark, sf_dir):
+        from triple_accel_spark.operators.dedup import dedup_near
+
+        kept = dedup_near(_docs(spark, sf_dir), "text", "doc_id",
+                          jaccard_threshold=0.5)
+        return kept.select("doc_id")
+
     def simhash_docs(spark, sf_dir):
         return _docs(spark, sf_dir).select("doc_id", simhash64("text").alias("simhash"))
 
@@ -403,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
         "minhash_lsh_dups": minhash_lsh_dups,
+        "dedup_near_docs": dedup_near_docs,
         "simhash_docs": simhash_docs,
         "fingerprint_docs": fingerprint_docs,
         "token_stats": token_stats,

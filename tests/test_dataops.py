@@ -72,6 +72,21 @@ def test_minhash_lsh_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_dedup_near_keeps_min_id_per_group(spark):
+    from triple_accel_spark.operators.dedup import dedup_near
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "lzay")),
+        (4, base),
+        (3, "completely different content with no overlap whatsoever xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in dedup_near(df, jaccard_threshold=0.5).collect())
+    assert kept == [1, 3]
+
+
 def test_ngram_jaccard_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [("abcabc", "abcabc"), ("abcdef", "uvwxyz")], "text_a string, text_b string"

@@ -132,6 +132,32 @@ def minhash_lsh_duplicates(
     )
 
 
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Keep one representative (min id) per NEAR-duplicate group: the
+    standard training-corpus dedup endpoint. Composition: MinHash-LSH
+    candidate pairs -> verified Jaccard edges -> connected components
+    -> keep each component's minimum id (deterministic, idempotent)."""
+    from triple_accel_spark.operators.clustering import connected_components
+
+    edges = minhash_lsh_duplicates(
+        df, text_col, id_col, q=q, num_hashes=num_hashes,
+        num_bands=num_bands, jaccard_threshold=jaccard_threshold,
+    )
+    labels = connected_components(edges.select("id_a", "id_b"))
+    drop = labels.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash64(text_col, q: int = 4) -> Column:
     """64-bit SimHash of the q-gram multiset, as a bigint Column.
 
