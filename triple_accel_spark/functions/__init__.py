@@ -100,6 +100,72 @@ def _translate_objs(ca, cb):
     return ta, tb
 
 
+_EXP_START_K = 30  # the reference's levenshtein_exp first attempt
+# (levenshtein.rs:1445-1454). With the banded kernel this makes UNBOUNDED
+# calls adaptive per row; unlike the reference's full doubling ladder we
+# use TWO rungs (narrow band, then full): candidate-pair distance
+# distributions are bimodal (near-duplicate or very distant), so middle
+# rungs only add work — measured: doubling ladder ran unrelated pairs
+# 2.5x slower than full, the two-rung ladder ~1.1x, while near-dups
+# resolve in the first 1-word band at ~3x full throughput.
+
+
+def _bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Levenshtein lower bound from character histograms: every edit
+    changes the combined histogram L1 by at most 2, so
+    ``dist >= L1/2`` (and >= length difference). O(total chars)."""
+    n = a_mat.shape[0]
+    rows_a = np.repeat(np.arange(n), a_len)
+    rows_b = np.repeat(np.arange(n), b_len)
+    mask_a = np.arange(a_mat.shape[1])[None, :] < a_len[:, None]
+    mask_b = np.arange(b_mat.shape[1])[None, :] < b_len[:, None]
+    # bincount over combined (row, char) keys — much faster than the
+    # equivalent np.add.at scatter
+    keys_a = (rows_a << 8) | a_mat[mask_a]
+    keys_b = (rows_b << 8) | b_mat[mask_b]
+    ha = np.bincount(keys_a, minlength=n << 8).astype(np.int64)
+    hb = np.bincount(keys_b, minlength=n << 8)
+    l1 = np.abs(ha - hb).reshape(n, 256).sum(axis=1)
+    return np.maximum((l1 + 1) // 2, np.abs(a_len - b_len))
+
+
+def _myers_exp(ca, cb, max_len: int):
+    """Exact unit-cost distance via adaptive banding: rows whose cheap
+    histogram lower bound permits a small distance try a narrow band
+    first; everything else (and narrow-band misses) runs full. Encoded
+    once, shared across both passes."""
+    from triple_accel_spark.kernels.encode import encode_batch
+    from triple_accel_spark.kernels.myers import myers_batch_encoded
+
+    n = len(ca)
+    if n == 0 or max_len <= 2 * _EXP_START_K:
+        return myers_batch(ca, cb, None)
+    a_mat, a_len, a_ok = encode_batch(ca)
+    b_mat, b_len, b_ok = encode_batch(cb)
+    valid = a_ok & b_ok
+    lb = _bag_lower_bound(a_mat, a_len, b_mat, b_len)
+
+    d_out = np.full(n, -1, dtype=np.int64)
+    ok_out = np.zeros(n, dtype=bool)
+    narrow = np.nonzero(valid & (lb <= _EXP_START_K))[0]
+    if narrow.size:
+        d, ok = myers_batch_encoded(
+            a_mat[narrow], a_len[narrow], b_mat[narrow], b_len[narrow],
+            valid[narrow], _EXP_START_K,
+        )
+        d_out[narrow[ok]] = d[ok]
+        ok_out[narrow[ok]] = True
+    pending = np.nonzero(valid & ~ok_out)[0]
+    if pending.size:
+        d, ok = myers_batch_encoded(
+            a_mat[pending], a_len[pending], b_mat[pending], b_len[pending],
+            valid[pending], None,
+        )
+        d_out[pending] = d
+        ok_out[pending] = ok
+    return d_out, ok_out
+
+
 def _dist_series(
     a: pd.Series, b: pd.Series, k, costs: EditCosts, unicode: bool = False
 ) -> pd.Series:
@@ -112,7 +178,10 @@ def _dist_series(
         if unicode:
             ca, cb = _translate_objs(ca, cb)
         if costs.is_unit:
-            d, ok = myers_batch(ca, cb, k)
+            if k is None:
+                d, ok = _myers_exp(ca, cb, int(key[idx].max()) if len(idx) else 0)
+            else:
+                d, ok = myers_batch(ca, cb, k)
         else:
             d, ok, _ = lev_batch(ca, cb, k, costs)
         vals = np.where(ok, d.astype(float), np.nan)
