@@ -106,39 +106,73 @@ def lev_batch(
     if trace:
         ptr[0, :, :] = _AGAP  # row 0: consume text chars
 
+    # Ukkonen band (reference unit_k, levenshtein.rs:426,760-763): with a
+    # cost budget k only columns |j - i| <= uk can host a <=k path, so
+    # each row computes a 2*uk+1 slice. Out-of-window cells keep older
+    # (row-0 / earlier-row) values, which only OVERestimate — safe, the
+    # standard banded-DP surrogate; rows whose length difference exceeds
+    # uk are invalid by construction (reference's early None,
+    # levenshtein.rs:428-430). Tracing walks the full matrix, so the
+    # band applies only to non-trace k-bounded calls.
+    uk = None
+    if k is not None and not trace:
+        kmax = int(np.max(k)) if isinstance(k, np.ndarray) else int(k)
+        uk = max((kmax - int(sg)) // int(gap), 0)
+        if 2 * uk + 3 >= w:
+            uk = None
+
     rows = np.arange(n)
     for i in range(1, m_max + 1):
         live = i <= p_len
         if not live.any():
             break
+        if uk is None:
+            js = slice(0, w)
+        else:
+            js = slice(max(0, i - uk), min(w, i + uk + 1))
+        lo, hi = js.start, js.stop
+        jw = jj[js]
         pc = p_mat[:, i - 1][:, None]  # pattern char this row
-        neq = (t_mat != pc).astype(np.int64) * mis
-        sub = np.empty((n, w), dtype=np.int64)
-        sub[:, 0] = INF
-        sub[:, 1:] = dp1[:, :-1] + neq
+        neq = (t_mat[:, max(lo - 1, 0):hi - 1] != pc).astype(np.int64) * mis
+        sub = np.empty((n, hi - lo), dtype=np.int64)
+        if lo == 0:
+            sub[:, 0] = INF
+            sub[:, 1:] = dp1[:, : hi - 1] + neq
+        else:
+            sub[:, :] = dp1[:, lo - 1 : hi - 1] + neq
 
-        bgap = np.minimum(dp1 + sg + gap, np.minimum(bgap + gap, INF))
+        bgap[:, js] = np.minimum(
+            dp1[:, js] + sg + gap, np.minimum(bgap[:, js] + gap, INF)
+        )
 
-        t_cand = np.minimum(sub, bgap)
+        t_cand = np.minimum(sub, bgap[:, js])
 
         trans = None
         if allow_t and i > 1:
             # transpose: p[i-1]==t[j-2] and p[i-2]==t[j-1], cost dp0[j-2]+tc
             pc2 = p_mat[:, i - 2][:, None]
-            cond = np.zeros((n, w), dtype=bool)
-            cond[:, 2:] = (t_mat[:, :-1] == pc) & (t_mat[:, 1:] == pc2)
-            trans = np.full((n, w), INF, dtype=np.int64)
-            trans[:, 2:] = np.where(cond[:, 2:], dp0[:, :-2] + tc, INF)
+            cond = np.zeros((n, hi - lo), dtype=bool)
+            first2 = max(2 - lo, 0)  # slice-local index of column j=2
+            tl = t_mat[:, max(lo - 2, 0) : hi - 2]
+            tr = t_mat[:, max(lo - 1, 1) : hi - 1]
+            cond[:, first2:] = (tl == pc) & (tr == pc2)
+            trans = np.full((n, hi - lo), INF, dtype=np.int64)
+            dpl = dp0[:, max(lo - 2, 0) : hi - 2]
+            trans[:, first2:] = np.where(cond[:, first2:], dpl + tc, INF)
             t_cand = np.minimum(t_cand, trans)
 
-        # in-row gap (consume text char) via prefix-min identity
-        c = t_cand - jj[None, :] * gap
+        # in-row gap (consume text char) via prefix-min identity;
+        # accumulation starts at the window edge — columns left of the
+        # band contribute nothing (INF), matching the reference window
+        c = t_cand - jw[None, :] * gap
         pmin = np.minimum.accumulate(c, axis=1)
-        agap = np.full((n, w), INF, dtype=np.int64)
-        agap[:, 1:] = np.minimum(sg + gap * jj[None, 1:] + pmin[:, :-1], INF)
+        agap = np.full((n, hi - lo), INF, dtype=np.int64)
+        agap[:, 1:] = np.minimum(sg + gap * jw[None, 1:] + pmin[:, :-1], INF)
 
-        dp2 = np.minimum(t_cand, agap)
-        if trace:
+        dp2_w = np.minimum(t_cand, agap)
+        dp2 = dp1.copy() if uk is not None else np.empty_like(dp1)
+        dp2[:, js] = dp2_w
+        if trace:  # trace implies uk is None: window == full width
             # reference pointer priority (levenshtein.rs:493-532):
             # start at sub; a_gap replaces if strictly less; b_gap
             # replaces if strictly less; transpose replaces on ties too
@@ -157,6 +191,12 @@ def lev_batch(
             result[grab] = dp2[grab, t_len[grab]]
 
         dp0, dp1 = dp1, np.where(live[:, None], dp2, dp1)
+
+    if uk is not None:
+        # outside-band extraction is undefined: a pair whose length
+        # difference exceeds the band cannot cost <= k (reference's
+        # early None, levenshtein.rs:428-430)
+        result = np.where((t_len - p_len) > uk, np.int64(-1), result)
 
     valid = valid_in.copy()
     if k is not None:
