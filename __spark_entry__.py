@@ -40,7 +40,7 @@ from triple_accel_spark.operators.clustering import (
 from triple_accel_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_duplicates,
-    simhash64,
+    with_simhash,
 )
 from triple_accel_spark.operators.pairs import candidate_pairs
 from triple_accel_spark.operators.scoring import score_pairs
@@ -75,6 +75,135 @@ def _adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADJ_SQL = (
     "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
 )
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate corpus: docs (id < 300) plus a
+    1-char-substituted copy of every 4th doc at id+1,000,000. The exact
+    O(n^2) q-gram Jaccard over this corpus is DuckDB-expressible, so
+    the LSH dedup operators get a hard hash oracle (recall over the
+    planted pairs is provably 1.0 at the chosen band settings — the
+    driver compare enforces it)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select("doc_id", "text")
+    mut = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 49), F.lit("~"), F.expr("substring(text, 51)")
+        ).alias("text"),
+    )
+    return d.union(mut)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, 49) || '~' || substr(text, 51)
+  FROM documents WHERE doc_id < 300 AND doc_id % 4 = 0
+"""
+
+# exact q=5-gram Jaccard edges over the dup corpus (grams on the same
+# normalized text as operators.blocking.normalized_text; the division
+# is written inter / (|A| + |B| - inter) in this exact order to match
+# the engine's array-free verification bit-for-bit)
+_DUP_EDGES_SQL = f"""
+  WITH corpus AS ({_DUP_CORPUS_SQL}),
+  g AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN length(nt) >= 5
+                  THEN list_transform(range(1, length(nt) - 3),
+                                      i -> substr(nt, i::INT, 5))
+                  ELSE [substr(nt, 1, 5)] END) AS gs
+    FROM (SELECT doc_id,
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+          FROM corpus)
+  ),
+  pre AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           length(list_intersect(a.gs, b.gs)) AS i,
+           length(a.gs) AS na, length(b.gs) AS nb
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  )
+  SELECT id_a, id_b,
+         i::DOUBLE / (na + nb - i)::DOUBLE AS jaccard
+  FROM pre WHERE i::DOUBLE / (na + nb - i)::DOUBLE >= 0.8::DOUBLE
+"""
+
+
+def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule-shaped transcript table derived DETERMINISTICALLY
+    from the documents parquet (so DuckDB can rebuild the identical
+    corpus in SQL): every doc becomes a 3-turn conversation
+    ``c<doc_id>``; every 3rd doc additionally yields a near-duplicate
+    conversation ``d<doc_id>`` with one substituted character (inside
+    turn 3, so prefix blocking is unaffected)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = F.concat(
+        F.substring("text", 1, 44), F.lit("Q"), F.expr("substring(text, 46)")
+    )
+    base = d.select(
+        F.concat(F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        F.col("text"),
+    ).union(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0")),
+            mut,
+        )
+    )
+    turn = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("turn_idx"), F.substring("text", 1, 20).alias("t")),
+            F.struct(F.lit(2).alias("turn_idx"), F.substring("text", 21, 20).alias("t")),
+            F.struct(
+                F.lit(3).alias("turn_idx"), F.expr("substring(text, 41)").alias("t")
+            ),
+        )
+    ).alias("turn")
+    return base.select("conv_id", turn).select(
+        "conv_id",
+        F.col("turn.turn_idx").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("turn.t").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+ER_T_TAU = 0.9  # transcript-pipeline match threshold
+ER_T_PREFIX = 16
+
+# the same corpus + full chain (assembly -> prefix blocks -> levenshtein
+# similarity) in DuckDB; produces the match edges the clustering /F1
+# oracles build on
+_TRANSCRIPT_MATCH_SQL = f"""
+  WITH base AS (
+    SELECT 'c' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id, text FROM documents
+    UNION ALL
+    SELECT 'd' || lpad(doc_id::VARCHAR, 8, '0'),
+           substr(text, 1, 44) || 'Q' || substr(text, 46)
+    FROM documents WHERE doc_id % 3 = 0
+  ),
+  turns AS (
+    SELECT conv_id, 1 AS turn_idx, substr(text, 1, 20) AS t FROM base
+    UNION ALL SELECT conv_id, 2, substr(text, 21, 20) FROM base
+    UNION ALL SELECT conv_id, 3, substr(text, 41) FROM base
+  ),
+  docs AS (
+    SELECT conv_id, string_agg(t, chr(31) ORDER BY turn_idx) AS doc
+    FROM turns GROUP BY conv_id
+  ),
+  m AS (
+    SELECT a.conv_id AS id_a, b.conv_id AS id_b
+    FROM docs a JOIN docs b
+      ON substr(lower(regexp_replace(a.doc, '\\s+', ' ', 'g')), 1, {ER_T_PREFIX})
+       = substr(lower(regexp_replace(b.doc, '\\s+', ' ', 'g')), 1, {ER_T_PREFIX})
+     AND a.conv_id < b.conv_id
+    WHERE 1.0::DOUBLE - levenshtein(a.doc, b.doc)::DOUBLE
+            / greatest(length(a.doc), length(b.doc), 1)::DOUBLE >= {ER_T_TAU}::DOUBLE
+  )
+"""
 
 
 def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +291,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edit_distance("text_a", "text_b", k=40).cast("long").alias("dist_k"),
         )
 
+    def lev_k_col_adjacent(spark, sf_dir):
+        # per-PAIR k as a Column (reference per-call k semantics;
+        # kernels take the cutoff as an ndarray) — NULL above the
+        # pair's own budget
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        kcol = (
+            F.abs(F.length("text_a") - F.length("text_b")) + F.lit(20)
+        ).cast("int")
+        return p.select(
+            "id_a", "id_b",
+            kcol.cast("long").alias("k_pair"),
+            edit_distance("text_a", "text_b", k=kcol).cast("long").alias("dist_kc"),
+        )
+
+    def lev_unicode(spark, sf_dir):
+        # codepoint (unicode=True) scoring via the per-pair dictionary
+        # adapter (reference translate_str, levenshtein.rs:609-651);
+        # DuckDB levenshtein is codepoint-based, so it oracles this
+        # directly on a derived non-ASCII column
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        ta = F.translate("text_a", "aeiou", "äéîøü")
+        tb = F.translate("text_b", "aeiou", "äéîøü")
+        return p.select(
+            "id_a", "id_b",
+            edit_distance(ta, tb, unicode=True).cast("long").alias("dist"),
+        )
+
+    def edit_costs_scaled(spark, sf_dir):
+        # uniformly doubled costs leave the optimal alignment unchanged
+        # and exactly double the distance -> the generalized banded DP
+        # kernel (non-unit path) gets a DuckDB oracle: 2*levenshtein
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        costs = EditCosts(mismatch_cost=2, gap_cost=2)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance("text_a", "text_b", k=80, costs=costs)
+            .cast("long").alias("dist2"),
+        )
+
     def hamming_fixed(spark, sf_dir):
         p = _adjacent_doc_pairs(spark, sf_dir)
         fa = F.rpad(F.substring("text_a", 1, 40), 40, "x")
@@ -189,17 +357,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def edit_traceback_adjacent(spark, sf_dir):
-        # RLE edit scripts (reference Edit/EditType) — rows-only;
-        # golden-vector parity is pytest-oracled
+        # RLE edit scripts (reference Edit/EditType). For unit costs the
+        # weighted edit count of an optimal traceback IS the Levenshtein
+        # distance, so the script totals get a DuckDB oracle; run-level
+        # golden-vector parity stays pytest-oracled.
         from triple_accel_spark.functions import edit_traceback
 
-        p = _adjacent_doc_pairs(spark, sf_dir).limit(50)
+        p = _adjacent_doc_pairs(spark, sf_dir).where(F.col("id_a") < 50)
         t = p.select(
             "id_a", "id_b", edit_traceback("text_a", "text_b").alias("trace")
         )
         return t.select(
             "id_a", "id_b",
-            F.size("trace").cast("long").alias("n_runs"),
             F.aggregate(
                 F.filter("trace", lambda e: e["edit"] != F.lit("match")),
                 F.lit(0).cast("long"),
@@ -208,8 +377,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def edit_search_docs(spark, sf_dir):
-        # semi-global fuzzy search (S4-S6): plant the needle from the
-        # doc's own middle, require a hit
+        # semi-global fuzzy search, ``all`` mode (S4-S6): plant the
+        # needle from the doc's own middle. (end, cost) emissions are
+        # DuckDB-expressible as min-over-window-lengths levenshtein;
+        # start positions / Best-mode merge quirks stay pytest-oracled.
+        d = _docs(spark, sf_dir)
+        needle = F.substring("text", 21, 12)
+        m = d.select(
+            F.col("doc_id"),
+            edit_search(needle, F.col("text"), k=2, search_type="all").alias("ms"),
+        )
+        return m.select(
+            "doc_id",
+            F.size("ms").cast("long").alias("n_matches"),
+            F.array_min(F.transform("ms", lambda x: x["k"]))
+            .cast("long").alias("min_k"),
+        )
+
+    def edit_search_best_docs(spark, sf_dir):
+        # Best mode with the reference's tightening threshold + overlap
+        # merge (levenshtein.rs:1755-1838) — the merge rule is not
+        # SQL-expressible, so this stays rows-only (pytest-oracled)
         d = _docs(spark, sf_dir)
         needle = F.substring("text", 21, 12)
         m = d.select(
@@ -224,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def hamming_search_docs(spark, sf_dir):
+        # Best-mode sliding-window Hamming search: every min-cost window
+        # position is kept (hamming.rs:123-143) — count and min are
+        # DuckDB-expressible over all window positions
         d = _docs(spark, sf_dir)
         needle = F.substring("text", 21, 12)
         m = d.select(
@@ -249,19 +440,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def minhash_lsh_dups(spark, sf_dir):
+        # planted-duplicate corpus -> the exact O(n^2) Jaccard cross
+        # join is the DuckDB oracle; 16 bands x 2 hashes puts band
+        # recall at threshold ~1-4e-8, so LSH must equal exact
         return minhash_lsh_duplicates(
-            _docs(spark, sf_dir), "text", "doc_id", jaccard_threshold=0.5
+            _dup_corpus(spark, sf_dir), "text", "doc_id",
+            q=5, num_hashes=32, num_bands=16, jaccard_threshold=0.8,
         )
 
     def dedup_near_docs(spark, sf_dir):
         from triple_accel_spark.operators.dedup import dedup_near
 
-        kept = dedup_near(_docs(spark, sf_dir), "text", "doc_id",
-                          jaccard_threshold=0.5)
+        kept = dedup_near(_dup_corpus(spark, sf_dir), "text", "doc_id",
+                          q=5, num_hashes=32, num_bands=16,
+                          jaccard_threshold=0.8)
         return kept.select("doc_id")
 
     def simhash_docs(spark, sf_dir):
-        return _docs(spark, sf_dir).select("doc_id", simhash64("text").alias("simhash"))
+        # single-pass scale path (explode + one combinable aggregation);
+        # fingerprints are bit-identical to the simhash64 Column form
+        # (asserted in tests). xxhash64 has no DuckDB twin -> rows-only.
+        return with_simhash(_docs(spark, sf_dir), "text", "doc_id")
 
     def fingerprint_docs(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -317,17 +516,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_dups(spark, sf_dir):
         # the testdata embeddings have no near-dup pairs (max pairwise
         # cosine ~0.51), so plant deterministic duplicates: scaled
-        # copies of vec_id < 50 (cosine exactly 1.0 to their source)
+        # copies of vec_id < 50 (cosine exactly 1.0 to their source).
+        # Scaled copies share every hyperplane sign bucket with their
+        # source, so LSH recall is exactly 1.0 and the exact cross-join
+        # cosine in DuckDB is a hard oracle.
         from triple_accel_spark.operators.dedup import embedding_near_duplicates
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dups = emb.where(F.col("vec_id") < 50).select(
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        dups = dbl.where(F.col("vec_id") < 50).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"),
             F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
         )
-        corpus = emb.select("vec_id", "embedding").union(dups)
-        return embedding_near_duplicates(corpus, "embedding", "vec_id",
-                                         cosine_threshold=0.999)
+        corpus = dbl.union(dups)
+        out = embedding_near_duplicates(corpus, "embedding", "vec_id",
+                                        cosine_threshold=0.999)
+        # round for the oracle compare: DuckDB's list_cosine_similarity
+        # accumulates in a slightly different order than the sequential
+        # aggregate fold, so raw doubles can differ in the last ulp on
+        # exactly-parallel vectors (1.0 vs 1.0000000000000002)
+        return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
     def er_matches_docs(spark, sf_dir):
         return _doc_er_matches(spark, sf_dir)
@@ -357,9 +568,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def er_transcripts_clusters(spark, sf_dir):
-        # the north-rule pipeline on the deterministic synthetic
-        # transcript corpus (rows-only; F1 asserted in er_transcripts_f1
-        # and tests/test_pipeline.py)
+        # the FULL north-rule pipeline (assemble -> block -> pair ->
+        # score -> cluster) over a transcript corpus derived
+        # deterministically from the documents parquet, so DuckDB can
+        # replay the whole chain (string_agg assembly, prefix blocks,
+        # levenshtein similarity, recursive-CTE clustering) as a hard
+        # hash oracle end to end
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+        t = _transcripts_from_docs(spark, sf_dir)
+        res = resolve_entities(
+            t,
+            ResolveConfig(
+                blocking="prefix", prefix_len=ER_T_PREFIX,
+                sim_threshold=ER_T_TAU, max_block_size=None,
+            ),
+        )
+        return res.clusters
+
+    def er_transcripts_f1(spark, sf_dir):
+        # pairwise F1 of the transcript pipeline's matches against the
+        # planted-duplicate ground truth (pairs (c<i>, d<i>)); with the
+        # derived corpus both sides are DuckDB-computable
+        from triple_accel_spark.operators.scoring import pairwise_f1
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+        t = _transcripts_from_docs(spark, sf_dir)
+        res = resolve_entities(
+            t,
+            ResolveConfig(
+                blocking="prefix", prefix_len=ER_T_PREFIX,
+                sim_threshold=ER_T_TAU, max_block_size=None,
+            ),
+        )
+        d = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0)
+        truth = d.select(
+            F.concat(F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .alias("id_a"),
+            F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .alias("id_b"),
+        )
+        m = pairwise_f1(res.matches, truth)
+        return spark.createDataFrame(
+            [(m["tp"], m["fp"], m["fn"], m["precision"], m["recall"], m["f1"])],
+            "tp long, fp long, fn long, precision double, recall double, f1 double",
+        )
+
+    def er_transcripts_synth(spark, sf_dir):
+        # the pipeline at its tuned defaults (minhash blocking) on the
+        # seeded mutation-model corpus — rows-only (xxhash minhash keys
+        # have no DuckDB twin); F1=1.0 at this budget is pytest-asserted
         from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
         from triple_accel_spark.sources.transcripts import generate_transcripts
 
@@ -367,21 +625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = spark.createDataFrame(tdf)
         res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
         return res.clusters
-
-    def er_transcripts_f1(spark, sf_dir):
-        from triple_accel_spark.operators.scoring import pairwise_f1
-        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
-        from triple_accel_spark.sources.transcripts import generate_transcripts
-
-        tdf, truth_pdf = generate_transcripts(n_entities=200, seed=42)
-        t = spark.createDataFrame(tdf)
-        res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
-        truth = spark.createDataFrame(truth_pdf)
-        m = pairwise_f1(res.matches, truth)
-        return spark.createDataFrame(
-            [(m["tp"], m["fp"], m["fn"], m["precision"], m["recall"], m["f1"])],
-            "tp long, fp long, fn long, precision double, recall double, f1 double",
-        )
 
     def media_features(spark, sf_dir):
         from triple_accel_spark.operators.multimodal import (
@@ -401,11 +644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
         "lev_k_adjacent": lev_k_adjacent,
+        "lev_k_col_adjacent": lev_k_col_adjacent,
+        "lev_unicode": lev_unicode,
+        "edit_costs_scaled": edit_costs_scaled,
         "hamming_fixed": hamming_fixed,
         "rdamerau_adjacent": rdamerau_adjacent,
         "edit_costs_adjacent": edit_costs_adjacent,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
+        "edit_search_best_docs": edit_search_best_docs,
         "hamming_search_docs": hamming_search_docs,
         "exact_dedup_docs": exact_dedup_docs,
         "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
@@ -424,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "er_transcripts_clusters": er_transcripts_clusters,
         "er_transcripts_f1": er_transcripts_f1,
+        "er_transcripts_synth": er_transcripts_synth,
         "media_features": media_features,
     }
 
@@ -462,6 +710,161 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN levenshtein(a.text, b.text) <= 40
                         THEN levenshtein(a.text, b.text) END AS dist_k
             {_ADJ_SQL}
+        """,
+        "lev_k_col_adjacent": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   abs(length(a.text) - length(b.text)) + 20 AS k_pair,
+                   CASE WHEN levenshtein(a.text, b.text)
+                             <= abs(length(a.text) - length(b.text)) + 20
+                        THEN levenshtein(a.text, b.text) END AS dist_kc
+            {_ADJ_SQL}
+        """,
+        "lev_unicode": f"""
+            -- DuckDB levenshtein counts BYTES, so it cannot score the
+            -- accented texts directly; but codepoint edit distance is
+            -- invariant under the bijective a/e/i/o/u -> accented
+            -- substitution, so the distance of the ORIGINAL ASCII
+            -- texts is the exact oracle for the unicode=True path
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
+            {_ADJ_SQL}
+        """,
+        "edit_costs_scaled": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN 2 * levenshtein(a.text, b.text) <= 80
+                        THEN 2 * levenshtein(a.text, b.text) END AS dist2
+            {_ADJ_SQL}
+        """,
+        "edit_traceback_adjacent": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS n_edits
+            {_ADJ_SQL} WHERE a.doc_id < 50
+        """,
+        "edit_search_docs": """
+            WITH d AS (
+              SELECT doc_id, text, substr(text, 21, 12) AS needle,
+                     length(text) AS h, length(substr(text, 21, 12)) AS n
+              FROM documents
+            ),
+            costs AS (
+              -- DuckDB range() takes no correlated args: join a
+              -- corpus-max position table and filter per doc instead
+              SELECT d.doc_id, t.e,
+                     min(levenshtein(d.needle,
+                                     substr(d.text, (t.e - l.L + 1)::INT, l.L::INT)))
+                       AS cost
+              FROM d
+              JOIN range(0, 4096) t(e)  -- constant-only fn; ON prunes per doc
+                ON t.e <= d.h
+              JOIN range(0, 15) l(L)
+                ON l.L >= greatest(d.n - 2, 0) AND l.L <= least(t.e, d.n + 2)
+              GROUP BY d.doc_id, t.e
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_matches, min(cost) AS min_k
+              FROM costs WHERE cost <= 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(agg.n_matches, 0) AS n_matches,
+                   agg.min_k
+            FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "hamming_search_docs": """
+            WITH d AS (
+              SELECT doc_id, text, substr(text, 21, 12) AS needle,
+                     length(text) AS h, length(substr(text, 21, 12)) AS n
+              FROM documents
+            ),
+            w AS (
+              SELECT d.doc_id,
+                     hamming(d.needle, substr(d.text, t.p::INT, d.n::INT)) AS dist
+              FROM d
+              JOIN range(1, 4096) t(p)  -- constant-only fn; ON prunes per doc
+                ON t.p <= d.h - d.n + 1
+              WHERE d.n > 0
+            ),
+            b AS (SELECT doc_id, min(dist) AS dmin FROM w GROUP BY doc_id),
+            c AS (
+              SELECT w.doc_id, b.dmin, count(*) AS n_at_min
+              FROM w JOIN b USING (doc_id) WHERE w.dist = b.dmin
+              GROUP BY w.doc_id, b.dmin
+            )
+            SELECT d.doc_id,
+                   CASE WHEN c.dmin <= 2 THEN c.n_at_min ELSE 0 END AS n_matches,
+                   CASE WHEN c.dmin <= 2 THEN c.dmin END AS best_k
+            FROM d LEFT JOIN c USING (doc_id)
+        """,
+        "minhash_lsh_dups": _DUP_EDGES_SQL,
+        "dedup_near_docs": f"""
+            WITH RECURSIVE m AS ({_DUP_EDGES_SQL}),
+            corpus AS ({_DUP_CORPUS_SQL}),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM corpus
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            )
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        "embedding_dups": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, v FROM dbl
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(v, x -> x * 0.5::DOUBLE)
+              FROM dbl WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 9) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
+        """,
+        "er_transcripts_clusters": f"""
+            WITH RECURSIVE {_TRANSCRIPT_MATCH_SQL.strip().removeprefix('WITH')},
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT conv_id, conv_id FROM docs
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            )
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "er_transcripts_f1": f"""
+            {_TRANSCRIPT_MATCH_SQL},
+            t AS (
+              SELECT 'c' || lpad(doc_id::VARCHAR, 8, '0') AS id_a,
+                     'd' || lpad(doc_id::VARCHAR, 8, '0') AS id_b
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            counts AS (
+              SELECT
+                (SELECT count(*) FROM m JOIN t USING (id_a, id_b)) AS tp,
+                (SELECT count(*) FROM m) AS np,
+                (SELECT count(*) FROM t) AS nt
+            ),
+            pr AS (
+              SELECT tp, np - tp AS fp, nt - tp AS fn,
+                     CASE WHEN np > 0 THEN tp::DOUBLE / np::DOUBLE
+                          ELSE 0.0::DOUBLE END AS precision,
+                     CASE WHEN nt > 0 THEN tp::DOUBLE / nt::DOUBLE
+                          ELSE 0.0::DOUBLE END AS recall
+              FROM counts
+            )
+            SELECT tp, fp, fn, precision, recall,
+                   CASE WHEN precision + recall > 0.0::DOUBLE
+                        THEN 2.0::DOUBLE * precision * recall
+                             / (precision + recall)
+                        ELSE 0.0::DOUBLE END AS f1
+            FROM pr
         """,
         "hamming_fixed": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

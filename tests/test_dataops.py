@@ -225,8 +225,25 @@ def test_multimodal_features(spark):
         assert abs(math.fsum(x * x for x in vec) - 1.0) < 1e-3  # unit norm
 
 
-def test_multimodal_real_decoder_stubbed():
-    from triple_accel_spark.operators.multimodal import decode_image_real
+def test_multimodal_real_decoder():
+    """Decodes a real PNG when Pillow is importable; otherwise the slot
+    must raise NotImplementedError (documented stub behavior)."""
+    from triple_accel_spark.operators.multimodal import (
+        decode_image_real,
+        image_feature_real,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"\x89PNG")
+        return
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    px = decode_image_real(buf.getvalue())
+    assert px.shape == (3, 4, 3) and px[0, 0, 1] == 20
+    vec = image_feature_real(buf.getvalue())
+    assert vec.shape == (16,) and abs(float((vec * vec).sum()) - 1.0) < 1e-5

@@ -1,0 +1,136 @@
+"""Round-2 additions: array-free LSH verification, single-pass SimHash,
+per-pair k columns, CC checkpoint intervals, batched hamming search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from triple_accel_spark.functions import edit_distance
+from triple_accel_spark.kernels.hamming import hamming_search_batch
+from triple_accel_spark.operators.clustering import connected_components
+from triple_accel_spark.operators.dedup import (
+    minhash_lsh_duplicates,
+    ngram_jaccard,
+    simhash64,
+    with_simhash,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _corpus(spark, n=40):
+    """Deterministic corpus with planted near-duplicates."""
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"abcdefgh ", dtype=np.uint8)
+    rows = []
+    for i in range(n):
+        base = bytes(rng.choice(alphabet, int(rng.integers(40, 120)))).decode()
+        rows.append((i, base))
+        if i % 3 == 0:  # 1-char mutation -> high-jaccard pair
+            rows.append((i + 1000, base[:10] + "Z" + base[11:]))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """Array-free LSH verification == brute-force exact q-gram Jaccard
+    (edges AND values) on a planted corpus with high band recall."""
+    df = _corpus(spark)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_duplicates(
+            df, q=5, num_hashes=32, num_bands=16, jaccard_threshold=0.8
+        ).collect()
+    }
+    a = df.select(F.col("doc_id").alias("id_a"),
+                  F.lower(F.regexp_replace("text", r"\s+", " ")).alias("ta"))
+    b = df.select(F.col("doc_id").alias("id_b"),
+                  F.lower(F.regexp_replace("text", r"\s+", " ")).alias("tb"))
+    allp = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    exact = ngram_jaccard(allp, "ta", "tb", n=5).where(F.col("jaccard") >= 0.8)
+    want = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_with_simhash_equals_column_form(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "sphinx of black quartz judge my vow"),
+            (3, "ab"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    col_form = {r.doc_id: r.sh
+                for r in df.select("doc_id", simhash64("text").alias("sh")).collect()}
+    op_form = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    assert op_form == col_form
+
+
+def test_edit_distance_per_pair_k_column(spark):
+    rows = [("kitten", "sitting", 3), ("kitten", "sitting", 2),
+            ("abc", "abc", 0), ("abc", "xyz", 2), ("abc", "xyz", 3),
+            (None, "x", 5), ("x", "y", None)]
+    df = spark.createDataFrame(rows, "a string, b string, k int")
+    got = df.select(
+        edit_distance("a", "b", k=F.col("k")).alias("d")
+    ).collect()
+    assert [r.d for r in got] == [3, None, 0, None, 3, None, None]
+
+
+def test_pipeline_per_pair_k_matches_global_k(spark):
+    """Per-pair k and corpus-global k must produce identical matches
+    and clusters (only the pruning budget differs)."""
+    from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+    from triple_accel_spark.sources.transcripts import generate_transcripts
+
+    tdf, _ = generate_transcripts(n_entities=60, seed=11)
+    t = spark.createDataFrame(tdf)
+    r_pp = resolve_entities(t, ResolveConfig(sim_threshold=0.88, per_pair_k=True))
+    r_gk = resolve_entities(t, ResolveConfig(sim_threshold=0.88, per_pair_k=False))
+    m_pp = {(r.id_a, r.id_b) for r in r_pp.matches.collect()}
+    m_gk = {(r.id_a, r.id_b) for r in r_gk.matches.collect()}
+    assert m_pp == m_gk
+    c_pp = {(r.id, r.cluster_id) for r in r_pp.clusters.collect()}
+    c_gk = {(r.id, r.cluster_id) for r in r_gk.clusters.collect()}
+    assert c_pp == c_gk
+    # per-pair budgets are never looser than the corpus-global budget,
+    # so the scored frame cannot grow
+    assert r_pp.metrics["n_pairs_scored"] <= r_gk.metrics["n_pairs_scored"]
+
+
+def test_cc_checkpoint_interval_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (11, 12)],
+        "id_a bigint, id_b bigint",
+    )
+    lab1 = {(r.id, r.cluster_id)
+            for r in connected_components(edges, checkpoint_interval=1).collect()}
+    lab3 = {(r.id, r.cluster_id)
+            for r in connected_components(edges, checkpoint_interval=3).collect()}
+    assert lab1 == lab3
+
+
+def test_hamming_search_batch_vectors():
+    # reference semantics: default k = ceil(n/2), best keeps all
+    # min-cost positions, all keeps everything <= k
+    res = hamming_search_batch(["abc"], ["xxabcxxabc"], k=0, search_type="all")
+    assert res == [[(2, 5, 0), (7, 10, 0)]]
+    res = hamming_search_batch(["abc"], ["xxabcxxabc"], search_type="best")
+    assert res == [[(2, 5, 0), (7, 10, 0)]]
+    # ties at min cost, mixed lengths in one batch, null, too-long needle
+    res = hamming_search_batch(
+        ["ab", "abcd", None, "longneedle", ""],
+        ["abab", "zzzz", "x", "short", "xy"],
+        search_type="best",
+    )
+    assert res[0] == [(0, 2, 0), (2, 4, 0)]
+    assert res[1] == []  # dmin=4 > default k=2
+    assert res[2] is None
+    assert res[3] == []
+    assert res[4] == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
+    # all mode with explicit k across different needle lengths
+    res = hamming_search_batch(
+        ["aa", "bbb"], ["aaxa", "xbbb"], k=1, search_type="all"
+    )
+    assert res[0] == [(0, 2, 0), (1, 3, 1), (2, 4, 1)]
+    assert res[1] == [(0, 3, 1), (1, 4, 0)]

@@ -169,40 +169,76 @@ def _myers_exp(ca, cb, max_len: int):
 def _dist_series(
     a: pd.Series, b: pd.Series, k, costs: EditCosts, unicode: bool = False
 ) -> pd.Series:
+    """``k`` may be None (unbounded), an int (one cutoff for the whole
+    batch), or a float ndarray (per-row cutoff; NaN rows -> NULL)."""
     n = len(a)
     out = np.full(n, np.nan)
     key = np.maximum(_lengths(a), _lengths(b))
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    k_null = None
+    k_int = None
+    if isinstance(k, np.ndarray):
+        k_null = ~np.isfinite(k)
+        k_int = np.where(k_null, 0, k).astype(np.int64)
     for idx in _sorted_chunks(n, key):
         ca, cb = av[idx], bv[idx]
+        kk = k_int[idx] if k_int is not None else k
         if unicode:
             ca, cb = _translate_objs(ca, cb)
         if costs.is_unit:
-            if k is None:
+            if kk is None:
                 d, ok = _myers_exp(ca, cb, int(key[idx].max()) if len(idx) else 0)
             else:
-                d, ok = myers_batch(ca, cb, k)
+                d, ok = myers_batch(ca, cb, kk)
         else:
-            d, ok, _ = lev_batch(ca, cb, k, costs)
+            d, ok, _ = lev_batch(ca, cb, kk, costs)
         vals = np.where(ok, d.astype(float), np.nan)
         out[idx] = vals
+    if k_null is not None:
+        out[k_null] = np.nan
     return pd.Series(out)
 
 
 def edit_distance(
-    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS,
+    a, b, k: int | Column | None = None, costs: EditCosts = LEVENSHTEIN_COSTS,
     unicode: bool = False,
 ) -> Column:
     """Generalized edit distance column; NULL where distance > ``k`` or
     an input is NULL. Unit costs dispatch to the Myers bit-parallel
     kernel; any other cost model uses the generalized DP kernel.
 
+    ``k`` may be an int (one cutoff for the whole batch, captured in
+    the UDF closure) or a Column (per-PAIR cutoff — the reference's
+    per-call ``k`` semantics, e.g. ``(1-tau) * greatest(len_a, len_b)``
+    so a long outlier never widens every other pair's band); rows with
+    NULL ``k`` yield NULL.
+
     ``unicode=False`` scores raw UTF-8 BYTES (the reference's u8
     semantics, lib.rs:41-44); ``unicode=True`` scores per CODEPOINT via
     a per-pair ≤256-symbol dictionary (the reference's
     ``levenshtein_simd_k_str``/``translate_str`` adapter,
     levenshtein.rs:609-651), yielding NULL where the alphabet
-    overflows, as the reference returns ``None``."""
+    overflows, as the reference returns ``None``.
+
+    NOTE: the returned expression is marked ``asNondeterministic()``
+    even though it is deterministic in fact. This stops Catalyst from
+    evaluating the expensive kernel TWICE when the same expression is
+    referenced by both a projection and a pushed-down filter (verified
+    via ``.explain``: exactly one ArrowEvalPython node). Consequence:
+    Catalyst rejects nondeterministic expressions inside join
+    conditions, grouping keys and some filters — compute the distance
+    with ``withColumn`` first, then join/group/filter on the
+    materialized column."""
+
+    if isinstance(k, Column):
+
+        @pandas_udf("int")
+        def _udf3(sa: pd.Series, sb: pd.Series, sk: pd.Series) -> pd.Series:
+            return _dist_series(
+                sa, sb, sk.to_numpy(dtype="float64", na_value=np.nan), costs, unicode
+            )
+
+        return _udf3.asNondeterministic()(a, b, k)
 
     @pandas_udf("int")
     def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -223,7 +259,12 @@ def rdamerau(a, b, k: int | None = None) -> Column:
 
 def hamming(a, b) -> Column:
     """Hamming distance; NULL for unequal lengths (the reference
-    panics — reference hamming.rs:38)."""
+    panics — reference hamming.rs:38).
+
+    Marked ``asNondeterministic()`` (deterministic in fact) to stop
+    Catalyst double-evaluating the kernel across pushed-down filters;
+    consequence: not usable inside join conditions / grouping keys —
+    materialize via ``withColumn`` first (see ``edit_distance``)."""
 
     @pandas_udf("int")
     def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -317,10 +358,21 @@ def normalized_similarity(
     return (F.lit(1.0) - d.cast("double") / denom.cast("double")).alias("sim")
 
 
-def length_prefilter(a, b, k: int, costs: EditCosts = LEVENSHTEIN_COSTS) -> Column:
+def length_prefilter(
+    a, b, k: int | Column, costs: EditCosts = LEVENSHTEIN_COSTS
+) -> Column:
     """Catalyst-native k-cutoff prune: pairs whose length difference
     alone exceeds the band can never be within k
     (reference levenshtein.rs:428-430). Apply BEFORE the scoring UDF so
-    the predicate pushes down and the Python exchange shrinks."""
+    the predicate pushes down and the Python exchange shrinks.
+
+    ``k`` may be a Column for per-pair cutoffs (see ``edit_distance``);
+    the bound stays whole-stage-codegen either way."""
+    if isinstance(k, Column):
+        unit_k = F.floor(
+            F.greatest(k - F.lit(costs.start_gap_cost), F.lit(0))
+            / F.lit(costs.gap_cost)
+        )
+        return F.abs(F.length(a) - F.length(b)) <= unit_k
     unit_k = max(k - costs.start_gap_cost, 0) // costs.gap_cost
     return F.abs(F.length(a) - F.length(b)) <= F.lit(unit_k)

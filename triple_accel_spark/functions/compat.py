@@ -16,6 +16,13 @@ the task); ``Match``/``Edit`` structs map to array<struct> columns.
 The ``*_str`` adapters take ``unicode=True`` semantics: per-codepoint
 distances via a per-pair ≤256-symbol dictionary
 (levenshtein.rs:609-651), NULL where the alphabet overflows.
+
+All distance functions here are marked ``asNondeterministic()``
+(deterministic in fact — see ``functions.edit_distance``): this stops
+Catalyst evaluating the kernel twice across pushed-down filters, but
+means the returned Column cannot appear inside join conditions or
+grouping keys; compute it with ``withColumn`` first, then join/group
+on the materialized column.
 """
 
 from __future__ import annotations

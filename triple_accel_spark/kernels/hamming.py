@@ -16,7 +16,7 @@ from typing import Sequence
 
 import numpy as np
 
-from triple_accel_spark.kernels.encode import encode_batch, to_bytes_list
+from triple_accel_spark.kernels.encode import encode_batch
 
 
 def hamming_batch(a_rows: Sequence, b_rows: Sequence) -> tuple[np.ndarray, np.ndarray]:
@@ -37,6 +37,11 @@ def hamming_batch(a_rows: Sequence, b_rows: Sequence) -> tuple[np.ndarray, np.nd
     return dist, valid
 
 
+# cap on rows*windows*needle_len per 3-D compare slice: keeps the
+# boolean temp ~32 MB so the compare stays cache/bandwidth friendly
+_SEARCH_SLICE_BUDGET = 1 << 25
+
+
 def hamming_search_batch(
     needle_rows: Sequence,
     haystack_rows: Sequence,
@@ -50,39 +55,56 @@ def hamming_search_batch(
     (hamming.rs:71). ``best`` keeps only the final-minimum-cost matches
     after the running threshold tightened (hamming.rs:123,135-143).
 
-    Each row's window-compare is a vectorized 2-D operation
-    (sliding_window_view); the loop is over rows only, so cost is
-    O(len(haystack) * len(needle)) NumPy work per row.
+    Vectorized ACROSS the batch, not just within a row: rows are
+    grouped by needle length and each group's window-compare is one
+    3-D ``sliding_window_view`` operation over the whole group
+    (sliced to a fixed memory budget) — no per-row NumPy dispatch, so
+    many short haystacks cost the same per byte as one long one.
+    Python touches only the emitted hits.
     """
-    needles, n_ok = to_bytes_list(needle_rows)
-    haystacks, h_ok = to_bytes_list(haystack_rows)
-    out: list[list[tuple[int, int, int]] | None] = []
-    for needle, hay, ok1, ok2 in zip(needles, haystacks, n_ok, h_ok):
-        if not (ok1 and ok2):
-            out.append(None)
+    nd_mat, nd_len, nd_ok = encode_batch(needle_rows)
+    hs_mat, hs_len, hs_ok = encode_batch(haystack_rows)
+    n_rows = nd_mat.shape[0]
+    valid = nd_ok & hs_ok
+    out: list[list[tuple[int, int, int]] | None] = [None] * n_rows
+    for i in np.nonzero(valid)[0]:
+        out[i] = []  # default: no matches (covers needle > haystack)
+    if n_rows == 0:
+        return out
+    k_arr = (
+        ((nd_len >> 1) + (nd_len & 1)).astype(np.int64)
+        if k is None
+        else np.full(n_rows, k, dtype=np.int64)
+    )
+    best = search_type == "best"
+
+    # empty needles: every position 0..h matches with cost 0
+    for i in np.nonzero(valid & (nd_len == 0))[0]:
+        if 0 <= k_arr[i]:
+            out[i] = [(p, p, 0) for p in range(int(hs_len[i]) + 1)]
+    for n in np.unique(nd_len[valid & (nd_len > 0)]):
+        n = int(n)
+        rows = np.nonzero(valid & (nd_len == n) & (hs_len >= n))[0]
+        if rows.size == 0:
             continue
-        n, h = len(needle), len(hay)
-        kk = (n >> 1) + (n & 1) if k is None else k
-        if n > h:
-            out.append([])
-            continue
-        if n == 0:
-            # every position matches with cost 0
-            d = np.zeros(h + 1, dtype=np.int64)
-        else:
-            na = np.frombuffer(needle, dtype=np.uint8)
-            ha = np.frombuffer(hay, dtype=np.uint8)
-            win = np.lib.stride_tricks.sliding_window_view(ha, n)
-            d = (win != na[None, :]).sum(axis=1).astype(np.int64)
-        if search_type == "best":
-            dmin = int(d.min()) if d.size else 0
-            if dmin > kk:
-                out.append([])
-                continue
-            idx = np.nonzero(d == dmin)[0]
-            out.append([(int(i), int(i) + n, dmin) for i in idx])
-        else:
-            # All mode with a fixed threshold: emitted iff d <= k
-            idx = np.nonzero(d <= kk)[0]
-            out.append([(int(i), int(i) + n, int(d[i])) for i in idx])
+        # slice the group so rows*windows*n stays inside the budget
+        step = max(1, _SEARCH_SLICE_BUDGET // max(1, int(hs_len[rows].max()) * n))
+        for s in range(0, rows.size, step):
+            rr = rows[s : s + step]
+            wmax = int(hs_len[rr].max())
+            H = np.ascontiguousarray(hs_mat[rr, :wmax])
+            win = np.lib.stride_tricks.sliding_window_view(H, n, axis=1)
+            d = (win != nd_mat[rr, None, :n]).sum(axis=2, dtype=np.int64)
+            nwin = (hs_len[rr] - n + 1).astype(np.int64)
+            pos_ok = np.arange(wmax - n + 1, dtype=np.int64)[None, :] < nwin[:, None]
+            d = np.where(pos_ok, d, np.int64(1) << 40)
+            if best:
+                dmin = d.min(axis=1)
+                hit_r, hit_p = np.nonzero(
+                    (d == dmin[:, None]) & (dmin[:, None] <= k_arr[rr][:, None])
+                )
+            else:
+                hit_r, hit_p = np.nonzero(d <= k_arr[rr][:, None])
+            for r, p in zip(hit_r.tolist(), hit_p.tolist()):
+                out[rr[r]].append((p, p + n, int(d[r, p])))
     return out

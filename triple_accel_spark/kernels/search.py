@@ -18,6 +18,16 @@ Cost model: O(len(needle)) Python iterations per haystack char,
 vectorized across the batch — intended for short needles against long
 haystacks (the reference benches needles at 1/10 of haystack length,
 benches/rand_benchmarks.rs:39-43).
+
+Unit-cost fast path: a Myers bit-parallel SEMI-GLOBAL scan (the
+reference's own SIMD search strategy, levenshtein.rs:1911-2451 —
+first DP row free, O(1) uint64 ops per haystack char instead of
+O(len(needle)) DP cells) computes the exact per-end-position cost for
+the whole batch first; the quirk-exact DP (start positions, length
+tie-breaks, Best-mode merge) then runs ONLY on rows that have at
+least one end within k. Search over a corpus is hit-sparse, so the
+expensive machinery touches a tiny fraction of rows; results are
+bit-identical to the DP on every row by construction.
 """
 
 from __future__ import annotations
@@ -30,6 +40,85 @@ from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
 from triple_accel_spark.kernels.encode import encode_batch
 
 INF = np.int64(1) << np.int64(40)
+
+_ONES = np.uint64(0xFFFFFFFFFFFFFFFF)
+_ONE = np.uint64(1)
+
+
+def _semiglobal_any_hit(
+    nd_mat: np.ndarray,
+    nd_len: np.ndarray,
+    hs_mat: np.ndarray,
+    hs_len: np.ndarray,
+    valid: np.ndarray,
+    k_arr: np.ndarray,
+) -> np.ndarray:
+    """Exact "does any end position cost <= k" per row, via the Myers
+    bit-parallel semi-global recurrence (unit costs, needles <= 64
+    symbols, free alignment start: the left-shift carries in 0 and the
+    score column starts at m). One batch-vectorized uint64 step per
+    haystack char; rows are haystack-length-sorted so finished rows
+    retire from a contiguous suffix."""
+    n = nd_mat.shape[0]
+    hit = np.zeros(n, dtype=bool)
+    rows = np.nonzero(valid & (nd_len > 0))[0]
+    if rows.size == 0:
+        return hit
+    # the fully-gapped match at position 0 (cost = needle length)
+    hit[rows] = nd_len[rows] <= k_arr[rows]
+
+    order = rows[np.argsort(hs_len[rows], kind="stable")]
+    r = order.size
+    m = nd_len[order]
+    hl = hs_len[order].astype(np.int64)
+    kk = k_arr[order]
+
+    # dense alphabet remap shrinks the peq gather table
+    lut = np.zeros(256, dtype=np.int64)
+    present = np.union1d(np.unique(nd_mat[order]), np.unique(hs_mat[order]))
+    lut[present] = np.arange(len(present))
+    sigma = int(len(present))
+    peq = np.zeros((r, sigma), dtype=np.uint64)
+    total = int(m.sum())
+    if total:
+        row_idx = np.repeat(np.arange(r), m)
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        pos = (np.arange(total) - np.repeat(starts, m)).astype(np.uint64)
+        chars = lut[nd_mat[order][row_idx, pos.astype(np.int64)]]
+        np.bitwise_or.at(peq, (row_idx, chars), _ONE << pos)
+    peq_flat = peq.reshape(-1)
+
+    hsT = lut[np.ascontiguousarray(hs_mat[order].T)]
+    mu = m.astype(np.uint64)
+    vp = np.where(mu >= 64, _ONES, (_ONE << (mu & np.uint64(63))) - _ONE)
+    vn = np.zeros(r, dtype=np.uint64)
+    score = m.astype(np.int64)
+    top = (mu - _ONE) & np.uint64(63)
+    row_base = np.arange(r, dtype=np.int64) * sigma
+    hit_local = np.zeros(r, dtype=bool)
+
+    n_max = int(hl.max())
+    for i in range(n_max):
+        lo = int(np.searchsorted(hl, i, side="right"))
+        if lo >= r:
+            break
+        sl = slice(lo, r)
+        eq = peq_flat[row_base[sl] + hsT[i, sl]]
+        x = eq | vn[sl]
+        vps = vp[sl]
+        d0 = (((x & vps) + vps) ^ vps) | x
+        hp = vn[sl] | ~(d0 | vps)
+        hn = vps & d0
+        score[sl] += ((hp >> top[sl]) & _ONE).astype(np.int64)
+        score[sl] -= ((hn >> top[sl]) & _ONE).astype(np.int64)
+        hit_local[sl] |= score[sl] <= kk[sl]
+        # free start: shift in 0 (a new alignment may begin here)
+        x2 = hp << _ONE
+        vn[sl] = x2 & d0
+        vp[sl] = (hn << _ONE) | ~(x2 | d0)
+
+    hit[order] |= hit_local
+    return hit
 
 
 def lev_search_batch(
@@ -50,17 +139,52 @@ def lev_search_batch(
     if n == 0:
         return []
 
+    k_all = (
+        ((nd_len >> 1) + (nd_len & 1)).astype(np.int64)
+        if k is None
+        else np.full(n, k, dtype=np.int64)
+    )
+    m_max_all = int(nd_len.max())
+    if costs.is_unit and not anchored and 0 < m_max_all <= 64:
+        hit = _semiglobal_any_hit(nd_mat, nd_len, hs_mat, hs_len, valid, k_all)
+        hit |= nd_len == 0  # empty needles keep their DP special case
+        out: list[list[tuple[int, int, int]] | None] = [None] * n
+        for i in np.nonzero(valid)[0]:
+            out[i] = []
+        keep = np.nonzero(valid & hit)[0]
+        if keep.size:
+            sub = _lev_search_dp(
+                nd_mat[keep], nd_len[keep], hs_mat[keep], hs_len[keep],
+                np.ones(keep.size, dtype=bool), k_all[keep],
+                search_type, costs, anchored,
+            )
+            for pos, i in enumerate(keep):
+                out[i] = sub[pos]
+        return out
+    return _lev_search_dp(
+        nd_mat, nd_len, hs_mat, hs_len, valid, k_all, search_type, costs, anchored
+    )
+
+
+def _lev_search_dp(
+    nd_mat: np.ndarray,
+    nd_len: np.ndarray,
+    hs_mat: np.ndarray,
+    hs_len: np.ndarray,
+    valid: np.ndarray,
+    k_arr: np.ndarray,
+    search_type: str,
+    costs: EditCosts,
+    anchored: bool,
+) -> list[list[tuple[int, int, int]] | None]:
+    """Reference-exact DP core (costs, lengths, tie-break quirks,
+    Best-mode merge) over pre-encoded batches."""
+    n = nd_mat.shape[0]
     mis = np.int64(costs.mismatch_cost)
     gap = np.int64(costs.gap_cost)
     sg = np.int64(costs.start_gap_cost)
     tc = np.int64(costs.transpose_cost or 0)
     allow_t = costs.allow_transpose
-
-    k_arr = (
-        ((nd_len >> 1) + (nd_len & 1)).astype(np.int64)
-        if k is None
-        else np.full(n, k, dtype=np.int64)
-    )
 
     m_max = int(nd_len.max())
     w = m_max + 1

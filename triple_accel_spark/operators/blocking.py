@@ -130,7 +130,14 @@ def with_minhash_blocks(
     id_col: str = "conv_id",
 ) -> DataFrame:
     """Explode each row into ``num_bands`` rows with a ``block_key``
-    (band table joined back on ``id_col`` — co-partitioned equi-join)."""
+    (band table joined back on ``id_col`` — co-partitioned equi-join).
+
+    NULL policy: rows with NULL text produce no gram rows (and rows
+    with NULL id cannot equi-join back), so neither survives into the
+    blocked output — deliberate: a NULL document cannot be blocked or
+    matched; route such rows to a quarantine sink upstream if they must
+    be accounted for. ``with_minhash_blocks_expr`` applies the same
+    policy explicitly."""
     keys = minhash_band_table(
         df, id_col, text_col, q, num_hashes, num_bands, lowercase, out_col
     )
@@ -152,13 +159,21 @@ def with_minhash_blocks_expr(
     (a streaming query allows at most one aggregation) and with
     already-aggregated frames. Slower per row at batch scale (Spark
     higher-order functions evaluate interpreted); prefer the
-    aggregation path for large batch jobs."""
+    aggregation path for large batch jobs.
+
+    NULL policy (matches the batch path): rows with NULL text emit no
+    block rows — the batch path drops them because a NULL text yields
+    no gram rows to aggregate, so here the key array is nulled out
+    before the explode."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
-    sig = minhash_signature(qgrams(normalized_text(text_col, lowercase), q), num_hashes)
+    norm = normalized_text(text_col, lowercase)
+    sig = minhash_signature(qgrams(norm, q), num_hashes)
     keys = minhash_band_keys(sig, num_bands, band_size)
-    return df.withColumn(out_col, F.explode(keys))
+    return df.withColumn(
+        out_col, F.explode(F.when(norm.isNotNull(), keys))
+    )
 
 
 def with_prefix_blocks(

@@ -6,17 +6,25 @@ table (``doc_id, text``):
 * ``exact_duplicates``      — hash-groupBy on a content digest.
 * ``minhash_lsh_duplicates``— shingle -> MinHash -> banded LSH ->
                               bucket self-join -> verified Jaccard.
-* ``simhash``               — 64-bit SimHash fingerprint column (pure
-                              Column expressions; Hamming-ball search
-                              via the engine's hamming kernel).
+* ``simhash64``/``with_simhash`` — 64-bit SimHash fingerprint
+                              (Column expression / single-pass
+                              DataFrame op; Hamming-ball search via
+                              the engine's hamming kernel).
 * ``ngram_jaccard``         — exact n-gram Jaccard for a pair frame.
 * ``embedding_near_duplicates`` — cosine near-dup over a vector column.
 
-All hot paths are built-in Column expressions (JVM, codegen); only the
-verified-Jaccard option touches arrays, still JVM-side via
-``array_intersect``/``array_union``. Designed so the candidate
-generation is the only shuffle and it is keyed by LSH bucket (bounded
-skew; cap + salt reuse ``pairs.candidate_pairs``).
+All hot paths are built-in Column expressions (JVM, codegen). Exact
+Jaccard verification is ARRAY-FREE: the candidate-pair list is joined
+to the exploded ``(doc, gram_hash)`` table and intersections are
+counted per pair, so every shuffle carries fixed-width rows (ids +
+one long) — no per-row gram-set arrays ever cross a shuffle. Candidate
+generation is keyed by LSH bucket (bounded skew; cap + salt reuse
+``pairs.candidate_pairs``).
+
+Persist lifecycle: frames persisted internally are exposed on the
+returned DataFrame as ``df._persisted_frames`` so materializing
+callers (``dedup_near``, long-lived drivers) can unpersist them;
+one-shot callers may instead ``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations
@@ -71,18 +79,20 @@ def minhash_lsh_duplicates(
 
     Band collision probability for Jaccard ``s`` is
     ``1 - (1 - s^(num_hashes/num_bands))^num_bands`` — defaults give
-    >99% recall at s >= 0.7."""
+    >99% recall at s >= 0.7.
+
+    Verification is array-free (100 TB shape): |A∩B| is a per-pair
+    COUNT over the exploded ``(rid, gram_hash)`` table joined to the
+    candidate list, |A|/|B| are per-doc counts, and
+    ``union = |A| + |B| - inter`` — every shuffle row is fixed-width.
+    A lossless containment bound (``J <= min(|A|,|B|) / max(|A|,|B|)``)
+    prunes length-mismatched candidates before the counting join."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
     norm = normalized_text(text_col)
     base = df.select(F.col(id_col).alias("rid"), norm.alias("_t"))
     n = F.length("_t")
-    # ONE explode + ONE aggregation produces both the minhash signature
-    # (band keys) and the doc's hashed gram SET used for exact-Jaccard
-    # verification — grams are 64-bit hashes, so set intersections are
-    # long-array ops instead of string-array ops (~10x cheaper), and
-    # the band self-join shuffles bare ids only
     gram_rows = base.select(
         "rid",
         F.explode(
@@ -90,13 +100,23 @@ def minhash_lsh_duplicates(
         ).alias("_i"),
         "_t",
     ).select("rid", F.expr(f"substring(_t, _i, {q})").alias("_g"))
+    # distinct hashed gram set as ROWS (rid, gh): reused for set sizes
+    # and for the intersection co-count; consumed 3x -> persist (handle
+    # surfaced via _persisted_frames, see module docstring)
+    gset = (
+        gram_rows.select("rid", F.xxhash64("_g", F.lit(-1)).alias("gh"))
+        .distinct()
+        .persist()
+    )
+    sizes = gset.groupBy("rid").agg(F.count(F.lit(1)).alias("ng"))
+    # minhash signature: ONE map-side-combinable aggregation; the
+    # shuffle carries (rid, num_hashes longs) regardless of doc size
     per_doc = gram_rows.groupBy("rid").agg(
         *[
             F.min(F.xxhash64("_g", F.lit(s))).alias(f"_h{s}")
             for s in range(num_hashes)
-        ],
-        F.collect_set(F.xxhash64("_g", F.lit(-1))).alias("gset"),
-    ).persist()
+        ]
+    )
     bands = []
     for b in range(num_bands):
         cols = [F.col(f"_h{i}") for i in range(b * band_size, (b + 1) * band_size)]
@@ -111,25 +131,46 @@ def minhash_lsh_duplicates(
         payload_cols=(),
         max_block_size=max_block_size,
     )
-    gsets = per_doc.select("rid", "gset")
-    pairs = (
-        pairs.join(gsets.withColumnRenamed("rid", "id_a"), "id_a")
-        .withColumnRenamed("gset", "gset_a")
-        .join(gsets.withColumnRenamed("rid", "id_b"), "id_b")
-        .withColumnRenamed("gset", "gset_b")
+    if jaccard_threshold <= 0:
+        raise ValueError("jaccard_threshold must be > 0 (pairs with an "
+                         "empty gram intersection are pruned, not scored)")
+    # attach per-doc distinct-gram counts (narrow equi-joins) and prune
+    # with the containment upper bound — lossless: J can never exceed
+    # min/max, so no pair at or above the threshold is dropped (the
+    # 1e-9 slack absorbs double rounding at the boundary)
+    cand = (
+        pairs.join(sizes.withColumnRenamed("rid", "id_a"), "id_a")
+        .withColumnRenamed("ng", "ng_a")
+        .join(sizes.withColumnRenamed("rid", "id_b"), "id_b")
+        .withColumnRenamed("ng", "ng_b")
     )
-    inter = F.size(F.array_intersect("gset_a", "gset_b"))
-    union = F.size(F.array_union("gset_a", "gset_b"))
-    return (
-        pairs.withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-                F.lit(1.0)
-            ),
+    bound = F.least("ng_a", "ng_b").cast("double") / F.greatest(
+        "ng_a", "ng_b"
+    ).cast("double")
+    cand = cand.where(bound >= F.lit(jaccard_threshold) - F.lit(1e-9))
+    # |A∩B| without materializing sets: candidate pairs x grams of the
+    # left doc, semi-matched against grams of the right doc, counted
+    # per pair. Two equi-joins + one combinable count over fixed-width
+    # rows — the shape that survives a 100x scale-up. The count is the
+    # plan SPINE (single linear lineage — a left-join back onto the
+    # candidate frame would duplicate the whole self-join subtree in
+    # the logical plan and blow up driver-side planning); pairs that
+    # produce no intersection rows have jaccard 0 < threshold and are
+    # correctly absent.
+    out = (
+        cand.join(gset.select(F.col("rid").alias("id_a"), "gh"), "id_a")
+        .join(gset.select(F.col("rid").alias("id_b"), "gh"), ["id_b", "gh"])
+        .groupBy("id_a", "id_b", "ng_a", "ng_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+        .withColumn("_u", F.col("ng_a") + F.col("ng_b") - F.col("_i"))
+        .withColumn(
+            "jaccard", F.col("_i").cast("double") / F.col("_u").cast("double")
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._persisted_frames = [gset] + getattr(pairs, "_persisted_frames", [])
+    return out
 
 
 def dedup_near(
@@ -151,18 +192,45 @@ def dedup_near(
         df, text_col, id_col, q=q, num_hashes=num_hashes,
         num_bands=num_bands, jaccard_threshold=jaccard_threshold,
     )
+    # connected_components iterates with internal actions, so the edge
+    # frame is fully materialized (and checkpointed away from its
+    # lineage) by the time it returns — safe to release the caches
     labels = connected_components(edges.select("id_a", "id_b"))
+    for fr in getattr(edges, "_persisted_frames", []):
+        fr.unpersist()
     drop = labels.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
 
 
+def _simhash_mask(b: int) -> int:
+    """Java-long bit mask for bit b (bit 63 is the sign bit)."""
+    return 1 << b if b < 63 else -(2**63)
+
+
+def _simhash_assemble(prefix: str) -> Column:
+    """Fold 64 signed bit-count columns ``{prefix}0..{prefix}63`` into
+    the fingerprint long (bit b set iff the count is positive)."""
+    out = None
+    for b in range(64):
+        bit = F.when(F.col(f"{prefix}{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b) if b else bit
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
 def simhash64(text_col, q: int = 4) -> Column:
     """64-bit SimHash of the q-gram multiset, as a bigint Column.
 
-    Per bit b: sign of sum over grams of (bit b of xxhash64(gram)),
-    folded JVM-side with ``aggregate`` over the gram array — no UDF."""
+    Per bit b: sign of sum over grams of (bit b of xxhash64(gram)).
+    This Column form folds with ``aggregate`` higher-order functions,
+    which Spark evaluates INTERPRETED and re-inlines per bit — fine for
+    ad-hoc use on short strings, wrong shape for corpus-scale jobs.
+    Use ``with_simhash`` (one explode + one combinable aggregation) for
+    anything large; the two produce identical fingerprints."""
     grams = qgrams(normalized_text(text_col), q)
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     bits = []
@@ -172,7 +240,7 @@ def simhash64(text_col, q: int = 4) -> Column:
             hashes,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(_simhash_mask(b))) != 0, 1).otherwise(-1),
         )
         bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bits.append(F.shiftleft(bit, b) if b else bit)
@@ -180,6 +248,50 @@ def simhash64(text_col, q: int = 4) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 4,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """``(id, simhash)`` — single-pass corpus-scale SimHash.
+
+    Scale shape: explode the q-gram multiset once (plain codegen
+    ``explode`` + ``substring``), hash each gram once, then ONE
+    map-side-combinable ``groupBy(id)`` computing the 64 signed
+    bit-count sums as conditional aggregates; the fingerprint is
+    assembled JVM-side from the counts. The shuffle carries
+    (id, 64 small ints) per doc regardless of document size — unlike
+    the ``simhash64`` Column form, whose per-bit ``aggregate`` HOFs
+    re-walk the gram array 64 times interpreted. Fingerprints are
+    bit-identical to ``simhash64`` (same grams, hash, and sign rule).
+    """
+    norm = normalized_text(text_col)
+    base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t"))
+    n = F.length("_t")
+    gram_rows = base.select(
+        "_sid",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
+        ).alias("_i"),
+        "_t",
+    ).select("_sid", F.xxhash64(F.expr(f"substring(_t, _i, {q})")).alias("_h"))
+    sums = gram_rows.groupBy("_sid").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(_simhash_mask(b))) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    return sums.select(
+        F.col("_sid").alias(id_col), _simhash_assemble("_b").alias(out_col)
+    )
 
 
 def ngram_jaccard(

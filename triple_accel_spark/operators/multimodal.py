@@ -28,13 +28,31 @@ FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes int, feature array<float
 
 
 def decode_image_real(content: bytes) -> np.ndarray:
-    """Real decoder slot. Intended implementation (requires Pillow):
-    ``np.asarray(PIL.Image.open(io.BytesIO(content)).convert("RGB"))``.
-    Not available in this environment."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; inject a decoder via extract_features(decoder=...)"
-    )
+    """Real decoder: decodes to an RGB pixel array via Pillow when it
+    is importable at runtime; raises ``NotImplementedError`` otherwise
+    (this sandbox has no imaging libs — the try-import keeps the module
+    importable everywhere while going live automatically where Pillow
+    exists)."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, gated at call time
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed; "
+            "inject a decoder via extract_features(decoder=...)"
+        ) from e
+    return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+
+def image_feature_real(content: bytes, dim: int = 16) -> np.ndarray:
+    """Real image feature: per-channel-folded mean-intensity histogram
+    of the decoded pixels, unit-norm (same contract as
+    ``fake_feature``: deterministic float32[dim])."""
+    px = decode_image_real(content).reshape(-1)
+    hist = np.bincount(px.astype(np.int64) % dim, minlength=dim).astype(np.float32)
+    n = np.linalg.norm(hist)
+    return hist / n if n else hist
 
 
 def fake_feature(content: bytes, dim: int = 16) -> np.ndarray:

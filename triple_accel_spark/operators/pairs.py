@@ -40,6 +40,12 @@ def candidate_pairs(
 
     Returns one row per unordered pair: ``id_a, id_b, <payload>_a,
     <payload>_b`` with ``id_a < id_b``.
+
+    Persist lifecycle: the projected input is persisted (it is consumed
+    three times — size census + both join roles). The handle is exposed
+    as ``result._persisted_frames`` so callers that materialize the
+    pairs (e.g. ``pipeline.resolve_entities``) can unpersist it;
+    long-lived drivers calling this repeatedly should do so.
     """
     cols = [F.col(id_col).alias("rid"), F.col(block_col).alias("bk")] + [
         F.col(c) for c in payload_cols
@@ -48,6 +54,7 @@ def candidate_pairs(
     # + right role); persist it so the upstream blocking lineage is
     # evaluated once, not per-consumer
     recs = blocked.select(*cols).persist()
+    persisted = [recs]
 
     # block sizes: one aggregation, joined back (AQE handles the join)
     sizes = recs.groupBy("bk").agg(F.count(F.lit(1)).alias("bsz"))
@@ -123,6 +130,7 @@ def candidate_pairs(
             )
         else:
             pairs = pairs.distinct()
+    pairs._persisted_frames = persisted
     return pairs
 
 

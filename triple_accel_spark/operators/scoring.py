@@ -10,7 +10,7 @@ column pruning keeps the exchange narrow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from triple_accel_spark.functions import edit_distance, length_prefilter
@@ -21,14 +21,20 @@ def score_pairs(
     pairs: DataFrame,
     text_a: str = "doc_a",
     text_b: str = "doc_b",
-    k: int | None = None,
+    k: int | Column | None = None,
     costs: EditCosts = LEVENSHTEIN_COSTS,
     sim_threshold: float | None = None,
     dist_col: str = "dist",
     sim_col: str = "sim",
 ) -> DataFrame:
     """Add ``dist`` (NULL-pruned at ``k``) and ``sim`` columns; filter
-    to ``sim >= sim_threshold`` if given."""
+    to ``sim >= sim_threshold`` if given.
+
+    ``k`` may be a Column for per-pair cutoffs (e.g.
+    ``relative_k_col(tau, text_a, text_b)``) — both the Catalyst-native
+    length prefilter and the kernel band tighten per pair, so fewer
+    rows cross the Arrow exchange and bands stay narrow regardless of
+    corpus length outliers."""
     df = pairs
     if k is not None:
         df = df.where(length_prefilter(text_a, text_b, k, costs))
@@ -47,6 +53,19 @@ def relative_k(threshold: float, max_len_hint: int) -> int:
     """Distance budget implied by a similarity threshold at a length
     scale: ``sim >= t  <=>  dist <= (1-t) * max_len``."""
     return max(1, int((1.0 - threshold) * max_len_hint))
+
+
+def relative_k_col(threshold: float, text_a, text_b) -> Column:
+    """Per-PAIR distance budget as a Column:
+    ``ceil((1-t) * greatest(len_a, len_b))``.
+
+    ``sim >= t  <=>  dist <= (1-t)*maxlen``, so any cutoff >= that
+    boundary loses no match; ``ceil`` (rather than ``floor``) keeps the
+    bound safe against double rounding of ``(1-t)*maxlen`` at integer
+    boundaries. A long corpus outlier no longer widens the band of
+    unrelated short pairs (vs one corpus-global k)."""
+    denom = F.greatest(F.length(text_a), F.length(text_b), F.lit(1))
+    return F.ceil(F.lit(1.0 - threshold) * denom.cast("double")).cast("int")
 
 
 def pairwise_f1(

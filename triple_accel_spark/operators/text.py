@@ -87,8 +87,7 @@ def lang_id(text_col) -> Column:
     toks = F.split(F.lower(c), r"[^a-zà-ÿ]+")
     scores = []
     for lang, words in STOPWORDS.items():
-        hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
-        # count multiplicity: filter beats intersect for repeated stopwords
+        # counts multiplicity: a repeated stopword scores once per use
         hits = F.size(F.filter(toks, lambda t: t.isin(words)))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))

@@ -18,13 +18,16 @@ from pyspark.sql import functions as F
 
 from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
 from triple_accel_spark.operators.assemble import assemble_documents
-from triple_accel_spark.operators.blocking import with_minhash_blocks
+from triple_accel_spark.operators.blocking import (
+    with_minhash_blocks,
+    with_prefix_blocks,
+)
 from triple_accel_spark.operators.clustering import (
     attach_singletons,
     connected_components,
 )
 from triple_accel_spark.operators.pairs import candidate_pairs
-from triple_accel_spark.operators.scoring import score_pairs
+from triple_accel_spark.operators.scoring import relative_k_col, score_pairs
 
 
 @dataclass
@@ -36,14 +39,25 @@ class ResolveConfig:
     q: int = 3
     num_hashes: int = 32
     num_bands: int = 16
+    # "minhash" (LSH bands — the recall-tuned default) or "prefix"
+    # (normalized-prefix key: cheaper, deterministic, SQL-expressible —
+    # also what the DuckDB-oracled driver queries use)
+    blocking: str = "minhash"
+    prefix_len: int = 16
     sim_threshold: float = 0.88
     k_frac: float = 0.2  # distance budget as a fraction of doc length
+    # per-pair k = ceil((1-sim_threshold) * max(len_a, len_b)) — the
+    # reference's per-call k semantics; False falls back to one
+    # corpus-global k from max doc_len (an outlier-long doc then widens
+    # every pair's band, and costs an extra driver action)
+    per_pair_k: bool = True
     max_block_size: int | None = 5000
     salt_threshold: int = 64
     salt_shards: int = 8
     costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
     checkpoint_dir: str | None = None
     cc_max_iter: int = 25
+    cc_checkpoint_interval: int = 2
     metrics_dir: str | None = None  # per-partition lineage sink
     run_id: str = "run0"
 
@@ -75,16 +89,25 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     metrics["n_docs"] = docs.count()
     commit(docs, "docs", size_col="doc", id_col="conv_id")
 
-    # distance budget scaled to the corpus: k such that sim_threshold is
-    # reachable for the longest docs (the per-pair normalized threshold
-    # is still enforced exactly afterwards)
-    max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
-    k = max(1, int((1.0 - cfg.sim_threshold) * max_len) + 1)
-    metrics["k_cutoff"] = k
+    if cfg.per_pair_k:
+        # per-pair distance budget (reference per-call k semantics);
+        # no driver action needed
+        k = relative_k_col(cfg.sim_threshold, "doc_a", "doc_b")
+        metrics["k_cutoff"] = "per_pair"
+    else:
+        # corpus-global budget: k such that sim_threshold is reachable
+        # for the longest docs (the per-pair normalized threshold is
+        # still enforced exactly afterwards)
+        max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
+        k = max(1, int((1.0 - cfg.sim_threshold) * max_len) + 1)
+        metrics["k_cutoff"] = k
 
-    blocked = with_minhash_blocks(
-        docs, "doc", q=cfg.q, num_hashes=cfg.num_hashes, num_bands=cfg.num_bands
-    )
+    if cfg.blocking == "prefix":
+        blocked = with_prefix_blocks(docs, "doc", prefix_len=cfg.prefix_len)
+    else:
+        blocked = with_minhash_blocks(
+            docs, "doc", q=cfg.q, num_hashes=cfg.num_hashes, num_bands=cfg.num_bands
+        )
     pairs = candidate_pairs(
         blocked,
         id_col="conv_id",
@@ -105,6 +128,11 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     ).cache()
     metrics["n_pairs_scored"] = scored.count()
     commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
+    # scored is materialized in its own cache now — release the pair
+    # join's internal persist (ADVICE: no unbounded cache accumulation
+    # across repeated invocations in one driver)
+    for fr in getattr(pairs, "_persisted_frames", []):
+        fr.unpersist()
 
     matches = scored.where(F.col("sim") >= cfg.sim_threshold).cache()
     metrics["n_matches"] = matches.count()
@@ -114,6 +142,7 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
         matches.select("id_a", "id_b"),
         checkpoint_dir=cfg.checkpoint_dir,
         max_iter=cfg.cc_max_iter,
+        checkpoint_interval=cfg.cc_checkpoint_interval,
     )
     clusters = attach_singletons(labels, docs, "conv_id").cache()
     metrics["n_records"] = clusters.count()
