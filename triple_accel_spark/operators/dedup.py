@@ -157,9 +157,18 @@ def minhash_lsh_duplicates(
     # the logical plan and blow up driver-side planning); pairs that
     # produce no intersection rows have jaccard 0 < threshold and are
     # correctly absent.
+    # shuffle_hash: the candidate-side stream is many times larger than
+    # a gram partition, and sort-merge would SORT the exploded
+    # (pair, gram) stream twice — measured 9x slower than hash joins
+    # here. The build side is one gram-table partition (bounded by
+    # shuffle parallelism), which is exactly what scales: at 10^12
+    # turns you raise partitions, never the per-partition build set.
+    ga = gset.select(F.col("rid").alias("id_a"), "gh").hint("shuffle_hash")
+    gb = gset.select(F.col("rid").alias("id_b"), "gh").hint("shuffle_hash")
     out = (
-        cand.join(gset.select(F.col("rid").alias("id_a"), "gh"), "id_a")
-        .join(gset.select(F.col("rid").alias("id_b"), "gh"), ["id_b", "gh"])
+        cand.select("id_a", "id_b", "ng_a", "ng_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gh"])
         .groupBy("id_a", "id_b", "ng_a", "ng_b")
         .agg(F.count(F.lit(1)).alias("_i"))
         .withColumn("_u", F.col("ng_a") + F.col("ng_b") - F.col("_i"))
