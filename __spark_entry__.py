@@ -513,6 +513,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = dbl.where(F.col("vec_id") >= 10)
         return lsh_topk(corpus, qs, k=10)
 
+    def ann_allpairs(spark, sf_dir):
+        # corpus x corpus top-k neighbor lists, exact baseline (the
+        # recall yardstick for lsh_all_pairs_topk, which is
+        # pytest-asserted >= 0.9 against this). Cosine rounded to 9
+        # decimals for the cross-engine value hash (see embedding_dups)
+        from triple_accel_spark.operators.similarity import (
+            brute_force_all_pairs_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = emb.where(F.col("vec_id") < 150).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        top = brute_force_all_pairs_topk(corpus, k=5)
+        return top.select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def embedding_dups(spark, sf_dir):
         # the testdata embeddings have no near-dup pairs (max pairwise
         # cosine ~0.51), so plant deterministic duplicates: scaled
@@ -665,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_allpairs": ann_allpairs,
         "embedding_dups": embedding_dups,
         "er_matches_docs": er_matches_docs,
         "er_clusters_docs": er_clusters_docs,
@@ -808,6 +829,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
             SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        "ann_allpairs": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 150
+            ),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id,
+                     list_cosine_similarity(a.v, b.v) AS cosine
+              FROM dbl a JOIN dbl b ON a.vec_id != b.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_dups": """
             WITH dbl AS (

@@ -134,3 +134,25 @@ def test_hamming_search_batch_vectors():
     )
     assert res[0] == [(0, 2, 0), (1, 3, 1), (2, 4, 1)]
     assert res[1] == [(0, 3, 1), (1, 4, 0)]
+
+
+def test_all_pairs_topk_recall(spark):
+    """LSH all-pairs top-k must recover >= 0.9 of the exact top-3
+    neighbor edges on the testdata embeddings."""
+    from triple_accel_spark.operators.similarity import (
+        brute_force_all_pairs_topk,
+        lsh_all_pairs_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        .cache()
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_all_pairs_topk(emb, k=3).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in lsh_all_pairs_topk(emb, k=3, n_planes=3, n_tables=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

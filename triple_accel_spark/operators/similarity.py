@@ -132,3 +132,89 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def brute_force_all_pairs_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact corpus x corpus top-k neighbor lists:
+    ``(query_id, vec_id, cosine, rank)`` for every corpus row.
+
+    O(N^2) cross product — the CORRECTNESS BASELINE for all-pairs
+    similarity (validation, small corpora, and recall measurement for
+    ``lsh_all_pairs_topk``). Not a 100 TB plan by design; the scale
+    path is the bucketed variant below."""
+    a = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    b = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    scored = (
+        a.join(b, F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", cosine_expr("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def lsh_all_pairs_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    max_block_size: int | None = 100_000,
+) -> DataFrame:
+    """Approximate corpus x corpus top-k (no broadcastable query side):
+    the large-query-set ANN scale path.
+
+    ``n_tables`` independent sign-LSH keys per row -> ONE salted,
+    capped bucket self-join (reusing ``candidate_pairs``: exact-once
+    unordered pairs, hot buckets sharded) -> exact cosine on the
+    candidates -> expand to both directions -> per-id window top-k.
+    Cost is sum of bucket sizes squared instead of N^2; recall per
+    neighbor at angle θ is ``1-(1-(1-θ/π)^planes)^tables`` (tune
+    planes up / tables down as density grows). Ranks are top-k OF THE
+    CANDIDATE SET — recall vs the exact baseline is asserted in tests
+    on the testdata embeddings."""
+    from triple_accel_spark.operators.pairs import candidate_pairs
+
+    base = corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(t), hyperplane_bucket(F.col("vec"), n_planes, seed + t)
+            )
+            for t in range(n_tables)
+        ]
+    )
+    blocked = base.withColumn("block_key", F.explode(keys))
+    pairs = candidate_pairs(
+        blocked,
+        id_col="rid",
+        block_col="block_key",
+        payload_cols=("vec",),
+        max_block_size=max_block_size,
+    )
+    scored = pairs.withColumn("cosine", cosine_expr("vec_a", "vec_b"))
+    both = scored.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias(id_col), "cosine"
+    ).union(
+        scored.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias(id_col), "cosine"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    out = (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+    out._persisted_frames = getattr(pairs, "_persisted_frames", [])
+    return out
