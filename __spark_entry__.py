@@ -346,6 +346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", rdamerau("text_a", "text_b").cast("long").alias("dist")
         )
 
+    def rdamerau_planted(spark, sf_dir):
+        # OSA kernel path with a DuckDB oracle: pair each doc with a
+        # copy whose chars at isolated positions 10/20/30 are
+        # substituted — runs between edits are long and no two diffs
+        # are adjacent, so neither shifts nor transpositions can beat
+        # plain substitutions and OSA == Levenshtein provably
+        d = _docs(spark, sf_dir)
+        mut = F.concat(
+            F.substring("text", 1, 9), F.lit("#"),
+            F.substring("text", 11, 9), F.lit("#"),
+            F.substring("text", 21, 9), F.lit("#"),
+            F.expr("substring(text, 31)"),
+        )
+        return d.select(
+            "doc_id",
+            rdamerau(F.col("text"), mut).cast("long").alias("dist"),
+        )
+
     def edit_costs_adjacent(spark, sf_dir):
         # generalized EditCosts path (banded DP kernel, D9/D11)
         p = _adjacent_doc_pairs(spark, sf_dir)
@@ -669,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_costs_scaled": edit_costs_scaled,
         "hamming_fixed": hamming_fixed,
         "rdamerau_adjacent": rdamerau_adjacent,
+        "rdamerau_planted": rdamerau_planted,
         "edit_costs_adjacent": edit_costs_adjacent,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
@@ -755,6 +774,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN 2 * levenshtein(a.text, b.text) <= 80
                         THEN 2 * levenshtein(a.text, b.text) END AS dist2
             {_ADJ_SQL}
+        """,
+        "rdamerau_planted": """
+            SELECT doc_id,
+                   levenshtein(text,
+                     substr(text, 1, 9) || '#' || substr(text, 11, 9) || '#'
+                       || substr(text, 21, 9) || '#' || substr(text, 31)) AS dist
+            FROM documents
         """,
         "edit_traceback_adjacent": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -156,3 +156,18 @@ def test_all_pairs_topk_recall(spark):
               for r in lsh_all_pairs_topk(emb, k=3, n_planes=3, n_tables=16).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_local_cc_equals_distributed(spark):
+    from triple_accel_spark.operators.clustering import (
+        local_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "p"), ("m", "m")],
+        "id_a string, id_b string",
+    )
+    dist = {(r.id, r.cluster_id) for r in connected_components(edges).collect()}
+    loc = {(r.id, r.cluster_id)
+           for r in local_connected_components(edges).collect()}
+    assert loc == dist

@@ -179,6 +179,55 @@ def connected_components(
     return labels.union(roots)
 
 
+def local_connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Driver-local union-find over a SMALL edge set: same
+    ``(id, cluster_id=min id of component)`` contract as
+    ``connected_components``, in one collect + one createDataFrame.
+
+    This is the bounded small-graph fast path: an iterative star
+    contraction costs ~10 Spark stages per round regardless of size,
+    which dominates end-to-end wall time when the match graph is tiny
+    (thousands of edges). Callers that already know the edge count
+    (``resolve_entities`` counts matches for its metrics) route here
+    below ``cc_local_threshold`` and to the distributed algorithm
+    above it — at 10^12-turn scale the threshold never triggers; this
+    is strictly a small-job latency optimization, never a scalability
+    crutch (the collect is bounded by the caller's threshold)."""
+    spark = edges.sparkSession
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u == v:
+            continue
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # min id per component (deterministic, matches the distributed path)
+    comp_min: dict = {}
+    for x in parent:
+        rx = find(x)
+        if rx not in comp_min or x < comp_min[rx]:
+            comp_min[rx] = x
+    out = [(x, comp_min[find(x)]) for x in parent]
+    id_type = edges.schema[src].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster_id", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def attach_singletons(
     labels: DataFrame, all_ids: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:

@@ -58,6 +58,11 @@ class ResolveConfig:
     checkpoint_dir: str | None = None
     cc_max_iter: int = 25
     cc_checkpoint_interval: int = 2
+    # match graphs at or below this edge count cluster driver-locally
+    # (union-find over one bounded collect); above it, the distributed
+    # star contraction runs. n_matches is already counted for metrics,
+    # so the routing costs nothing. 0 disables the local path.
+    cc_local_threshold: int = 100_000
     metrics_dir: str | None = None  # per-partition lineage sink
     run_id: str = "run0"
 
@@ -138,12 +143,23 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     metrics["n_matches"] = matches.count()
     commit(matches, "matches", id_col="id_a")
 
-    labels = connected_components(
-        matches.select("id_a", "id_b"),
-        checkpoint_dir=cfg.checkpoint_dir,
-        max_iter=cfg.cc_max_iter,
-        checkpoint_interval=cfg.cc_checkpoint_interval,
-    )
+    if metrics["n_matches"] <= cfg.cc_local_threshold and not cfg.checkpoint_dir:
+        # bounded small-graph fast path (see local_connected_components);
+        # checkpointed jobs always take the resumable distributed path
+        from triple_accel_spark.operators.clustering import (
+            local_connected_components,
+        )
+
+        labels = local_connected_components(matches.select("id_a", "id_b"))
+        metrics["cc_path"] = "local"
+    else:
+        labels = connected_components(
+            matches.select("id_a", "id_b"),
+            checkpoint_dir=cfg.checkpoint_dir,
+            max_iter=cfg.cc_max_iter,
+            checkpoint_interval=cfg.cc_checkpoint_interval,
+        )
+        metrics["cc_path"] = "distributed"
     clusters = attach_singletons(labels, docs, "conv_id").cache()
     metrics["n_records"] = clusters.count()
     metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
