@@ -171,3 +171,68 @@ def test_local_cc_equals_distributed(spark):
     loc = {(r.id, r.cluster_id)
            for r in local_connected_components(edges).collect()}
     assert loc == dist
+
+
+def test_minhash_block_paths_null_policy(spark):
+    """Batch and expression blocking paths agree on NULL text: such
+    rows produce no block rows in either (documented policy)."""
+    from triple_accel_spark.operators.blocking import (
+        with_minhash_blocks,
+        with_minhash_blocks_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", None), ("c", "jumps over the dog")],
+        "conv_id string, doc string",
+    )
+    batch = with_minhash_blocks(df).select("conv_id", "block_key").collect()
+    expr = with_minhash_blocks_expr(df).select("conv_id", "block_key").collect()
+    assert {(r.conv_id, r.block_key) for r in batch} == {
+        (r.conv_id, r.block_key) for r in expr
+    }
+    assert not any(r.conv_id == "b" for r in batch)
+
+
+def test_search_fast_path_equals_dp():
+    """The Myers semi-global prescan + subset DP must be bit-identical
+    to the pure DP across modes, cutoffs, planted and random rows
+    (needles 1..59 chars keep the <=64-symbol fast path engaged)."""
+    from triple_accel_spark.kernels.costs import LEVENSHTEIN_COSTS
+    from triple_accel_spark.kernels.encode import encode_batch
+    from triple_accel_spark.kernels.search import _lev_search_dp, lev_search_batch
+
+    rng = np.random.default_rng(0)
+    al = np.frombuffer(b"abcd", dtype=np.uint8)
+
+    def mk(n):
+        return rng.choice(al, n).astype(np.uint8).tobytes().decode()
+
+    needles, hays = [], []
+    for i in range(300):
+        m = int(rng.integers(1, 60))
+        h = int(rng.integers(0, 120))
+        nd, hy = mk(m), mk(h)
+        if i % 3 == 0 and h > m:
+            p = int(rng.integers(0, h - m))
+            hy = hy[:p] + nd + hy[p + m:]
+        needles.append(nd)
+        hays.append(hy)
+    needles += [None, "ab", ""]
+    hays += ["abc", None, "xyz"]
+    for st in ("best", "all"):
+        for k in (None, 0, 2):
+            got = lev_search_batch(needles, hays, k=k, search_type=st)
+            nm, nl, _ = encode_batch(needles)
+            hm, hl, _ = encode_batch(hays)
+            valid = np.array(
+                [a is not None and b is not None for a, b in zip(needles, hays)]
+            )
+            ka = (
+                ((nl >> 1) + (nl & 1)).astype(np.int64)
+                if k is None
+                else np.full(len(needles), k, dtype=np.int64)
+            )
+            want = _lev_search_dp(
+                nm, nl, hm, hl, valid, ka, st, LEVENSHTEIN_COSTS, False
+            )
+            assert got == want, (st, k)

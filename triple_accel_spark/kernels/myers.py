@@ -74,7 +74,10 @@ def myers_batch(
 
     Returns ``(dist int64, valid bool)``; ``valid=False`` for null
     inputs or (when ``k`` is given) distances above ``k``. ``dist`` is
-    always the true distance where inputs are non-null.
+    the true distance wherever ``valid`` is True; where the banded
+    path proves only ``dist > k`` the row is invalid and ``dist``
+    carries a sentinel above ``k`` — never read ``dist`` without
+    checking ``valid``.
     """
     a_mat, a_len, a_ok = encode_batch(a_rows)
     b_mat, b_len, b_ok = encode_batch(b_rows)

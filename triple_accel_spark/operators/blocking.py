@@ -95,7 +95,11 @@ def minhash_band_table(
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
     norm = normalized_text(text_col, lowercase)
-    base = df.select(F.col(id_col).alias("_mid"), norm.alias("_t"))
+    # NULL policy: a NULL document yields no band keys (it cannot be
+    # blocked or matched) — enforced identically in the expr path
+    base = df.select(F.col(id_col).alias("_mid"), norm.alias("_t")).where(
+        F.col("_t").isNotNull()
+    )
     n = F.length("_t")
     grams = base.select(
         "_mid",
