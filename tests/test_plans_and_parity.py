@@ -108,3 +108,21 @@ def test_commit_stage_metrics_idempotent(spark, tmp_path):
     # re-commit overwrote, not duplicated
     total = spark.read.parquet(m2["path"]).agg(F.sum("n_rows")).collect()[0][0]
     assert total == 100
+
+
+def test_minhash_verify_plan_hash_join_no_arrays(spark):
+    """The exact-Jaccard verification must (a) hash-join the exploded
+    gram stream (sort-merge would sort it twice — measured 9x slower),
+    and (b) carry NO array columns through any shuffle."""
+    from triple_accel_spark.operators.dedup import minhash_lsh_duplicates
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_duplicates(df, jaccard_threshold=0.5)
+    plan = _plan(out)
+    assert "ShuffledHashJoin" in plan
+    assert "collect_set" not in plan and "collect_list" not in plan
+    for fr in getattr(out, "_persisted_frames", []):
+        fr.unpersist()

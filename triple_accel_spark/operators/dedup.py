@@ -109,11 +109,15 @@ def minhash_lsh_duplicates(
         .persist()
     )
     sizes = gset.groupBy("rid").agg(F.count(F.lit(1)).alias("ng"))
-    # minhash signature: ONE map-side-combinable aggregation; the
-    # shuffle carries (rid, num_hashes longs) regardless of doc size
-    per_doc = gram_rows.groupBy("rid").agg(
+    # minhash signature from the persisted DISTINCT gram table: min
+    # over the set equals min over the multiset, and re-hashing the
+    # 64-bit gram hash per seed (hash-of-hash) is an equally valid
+    # minhash family — 3x fewer hash evaluations and no second scan
+    # of the corpus. One map-side-combinable aggregation; the shuffle
+    # carries (rid, num_hashes longs) regardless of doc size.
+    per_doc = gset.groupBy("rid").agg(
         *[
-            F.min(F.xxhash64("_g", F.lit(s))).alias(f"_h{s}")
+            F.min(F.xxhash64("gh", F.lit(s))).alias(f"_h{s}")
             for s in range(num_hashes)
         ]
     )
