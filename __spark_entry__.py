@@ -374,6 +374,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("cost"),
         )
 
+    def edit_costs_affine_planted(spark, sf_dir):
+        # affine-gap path with a DuckDB oracle: delete a single block
+        # of L = doc_id % 3 + 1 chars at position 11 — for long
+        # unchanged runs the optimal alignment is exactly one gap run,
+        # so cost = start_gap + L*gap = 1 + 3L provably (any alignment
+        # with s substitutions and total gap length >= L costs more)
+        d = _docs(spark, sf_dir)
+        L = (F.col("doc_id") % 3 + 1).cast("int")
+        cut = F.concat(
+            F.substring("text", 1, 10),
+            F.expr("substring(text, 11 + (doc_id % 3 + 1))"),
+        )
+        costs = EditCosts(mismatch_cost=2, gap_cost=3, start_gap_cost=1)
+        return d.select(
+            "doc_id",
+            edit_distance(F.col("text"), cut, k=50, costs=costs)
+            .cast("long").alias("cost"),
+            (F.lit(1) + 3 * L).cast("long").alias("expected"),
+        )
+
     def edit_traceback_adjacent(spark, sf_dir):
         # RLE edit scripts (reference Edit/EditType). For unit costs the
         # weighted edit count of an optimal traceback IS the Levenshtein
@@ -689,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdamerau_adjacent": rdamerau_adjacent,
         "rdamerau_planted": rdamerau_planted,
         "edit_costs_adjacent": edit_costs_adjacent,
+        "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
         "edit_search_best_docs": edit_search_best_docs,
@@ -774,6 +795,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN 2 * levenshtein(a.text, b.text) <= 80
                         THEN 2 * levenshtein(a.text, b.text) END AS dist2
             {_ADJ_SQL}
+        """,
+        "edit_costs_affine_planted": """
+            SELECT doc_id,
+                   1 + 3 * (doc_id % 3 + 1) AS cost,
+                   1 + 3 * (doc_id % 3 + 1) AS expected
+            FROM documents
         """,
         "rdamerau_planted": """
             SELECT doc_id,

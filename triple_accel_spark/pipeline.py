@@ -131,7 +131,14 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
         costs=cfg.costs,
         sim_threshold=None,
     ).cache()
-    metrics["n_pairs_scored"] = scored.count()
+    # one action materializes the cache AND yields both stage counts
+    # (map-side-combinable conditional count instead of a second pass)
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("sim") >= cfg.sim_threshold, 1)).alias("m"),
+    ).collect()[0]
+    metrics["n_pairs_scored"] = row["n"]
+    metrics["n_matches"] = row["m"]
     commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
     # scored is materialized in its own cache now — release the pair
     # join's internal persist (ADVICE: no unbounded cache accumulation
@@ -139,8 +146,7 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     for fr in getattr(pairs, "_persisted_frames", []):
         fr.unpersist()
 
-    matches = scored.where(F.col("sim") >= cfg.sim_threshold).cache()
-    metrics["n_matches"] = matches.count()
+    matches = scored.where(F.col("sim") >= cfg.sim_threshold)
     commit(matches, "matches", id_col="id_a")
 
     if metrics["n_matches"] <= cfg.cc_local_threshold and not cfg.checkpoint_dir:
@@ -161,8 +167,12 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
         )
         metrics["cc_path"] = "distributed"
     clusters = attach_singletons(labels, docs, "conv_id").cache()
-    metrics["n_records"] = clusters.count()
-    metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
+    crow = clusters.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("c"),
+    ).collect()[0]
+    metrics["n_records"] = crow["n"]
+    metrics["n_clusters"] = crow["c"]
     commit(clusters, "clusters", id_col="id")
 
     return ResolveResult(docs, scored, matches, clusters, metrics)
