@@ -196,7 +196,7 @@ def test_minhash_block_paths_null_policy(spark):
 def test_search_fast_path_equals_dp():
     """The Myers semi-global prescan + subset DP must be bit-identical
     to the pure DP across modes, cutoffs, planted and random rows
-    (needles 1..59 chars keep the <=64-symbol fast path engaged)."""
+    (needles 1..199 chars exercise the 1..4-word block recurrence)."""
     from triple_accel_spark.kernels.costs import LEVENSHTEIN_COSTS
     from triple_accel_spark.kernels.encode import encode_batch
     from triple_accel_spark.kernels.search import _lev_search_dp, lev_search_batch
@@ -209,8 +209,8 @@ def test_search_fast_path_equals_dp():
 
     needles, hays = [], []
     for i in range(300):
-        m = int(rng.integers(1, 60))
-        h = int(rng.integers(0, 120))
+        m = int(rng.integers(1, 200))
+        h = int(rng.integers(0, 240))
         nd, hy = mk(m), mk(h)
         if i % 3 == 0 and h > m:
             p = int(rng.integers(0, h - m))

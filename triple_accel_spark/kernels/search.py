@@ -21,13 +21,16 @@ benches/rand_benchmarks.rs:39-43).
 
 Unit-cost fast path: a Myers bit-parallel SEMI-GLOBAL scan (the
 reference's own SIMD search strategy, levenshtein.rs:1911-2451 —
-first DP row free, O(1) uint64 ops per haystack char instead of
-O(len(needle)) DP cells) computes the exact per-end-position cost for
-the whole batch first; the quirk-exact DP (start positions, length
-tie-breaks, Best-mode merge) then runs ONLY on rows that have at
-least one end within k. Search over a corpus is hit-sparse, so the
-expensive machinery touches a tiny fraction of rows; results are
-bit-identical to the DP on every row by construction.
+first DP row free, O(words) uint64 ops per haystack char instead of
+O(len(needle)) DP cells; multi-word Hyyrö blocks for needles of any
+length) computes the exact per-end-position cost for the whole batch
+first; the quirk-exact DP (start positions, length tie-breaks,
+Best-mode merge) then runs ONLY on rows that have at least one end
+within k. Search over a corpus is hit-sparse, so the expensive
+machinery touches a tiny fraction of rows; results are bit-identical
+to the DP on every row by construction. Measured (1000-2000 rows,
+400-800-char haystacks, 5% planted hits, k = len/10): 1.7x at
+needle 12, 7.1x at 48, 4.5x at 128, 5.1x at 256 over DP-only.
 """
 
 from __future__ import annotations
@@ -54,11 +57,12 @@ def _semiglobal_any_hit(
     k_arr: np.ndarray,
 ) -> np.ndarray:
     """Exact "does any end position cost <= k" per row, via the Myers
-    bit-parallel semi-global recurrence (unit costs, needles <= 64
-    symbols, free alignment start: the left-shift carries in 0 and the
-    score column starts at m). One batch-vectorized uint64 step per
-    haystack char; rows are haystack-length-sorted so finished rows
-    retire from a contiguous suffix."""
+    bit-parallel semi-global recurrence (unit costs, free alignment
+    start: word-0 horizontal carry-in is 0 and the score column starts
+    at m). Multi-word (Hyyrö block) for needles of any length; one
+    batch-vectorized uint64 step per (haystack char, needle word);
+    rows are haystack-length-sorted so finished rows retire from a
+    contiguous suffix."""
     n = nd_mat.shape[0]
     hit = np.zeros(n, dtype=bool)
     rows = np.nonzero(valid & (nd_len > 0))[0]
@@ -78,24 +82,40 @@ def _semiglobal_any_hit(
     present = np.union1d(np.unique(nd_mat[order]), np.unique(hs_mat[order]))
     lut[present] = np.arange(len(present))
     sigma = int(len(present))
-    peq = np.zeros((r, sigma), dtype=np.uint64)
+    m_max = int(m.max())
+    words = (m_max + 63) >> 6
+    # peq[(w, row, char)]: bit j%64 set iff needle[row][j] == char
+    peq = np.zeros((words, r, sigma), dtype=np.uint64)
     total = int(m.sum())
     if total:
         row_idx = np.repeat(np.arange(r), m)
         starts = np.concatenate(([0], np.cumsum(m)[:-1]))
-        pos = (np.arange(total) - np.repeat(starts, m)).astype(np.uint64)
-        chars = lut[nd_mat[order][row_idx, pos.astype(np.int64)]]
-        np.bitwise_or.at(peq, (row_idx, chars), _ONE << pos)
-    peq_flat = peq.reshape(-1)
+        pos = np.arange(total) - np.repeat(starts, m)
+        chars = lut[nd_mat[order][row_idx, pos]]
+        np.bitwise_or.at(
+            peq, (pos >> 6, row_idx, chars), _ONE << (pos & 63).astype(np.uint64)
+        )
 
     hsT = lut[np.ascontiguousarray(hs_mat[order].T)]
-    mu = m.astype(np.uint64)
-    vp = np.where(mu >= 64, _ONES, (_ONE << (mu & np.uint64(63))) - _ONE)
-    vn = np.zeros(r, dtype=np.uint64)
+    # vp bits set for positions < m within each word
+    wrange = np.arange(words)
+    bits_in_word = np.clip(m[None, :] - (wrange[:, None] << 6), 0, 64)
+    vp = np.where(
+        bits_in_word >= 64,
+        _ONES,
+        np.where(
+            bits_in_word > 0,
+            (_ONE << bits_in_word.astype(np.uint64)) - _ONE,
+            np.uint64(0),
+        ),
+    )
+    vn = np.zeros((words, r), dtype=np.uint64)
     score = m.astype(np.int64)
-    top = (mu - _ONE) & np.uint64(63)
+    hi_word = (np.maximum(m - 1, 0) >> 6).astype(np.int64)
+    hi_bit = ((m - 1) & 63).astype(np.uint64)
     row_base = np.arange(r, dtype=np.int64) * sigma
     hit_local = np.zeros(r, dtype=bool)
+    _S63 = np.uint64(63)
 
     n_max = int(hl.max())
     for i in range(n_max):
@@ -103,19 +123,45 @@ def _semiglobal_any_hit(
         if lo >= r:
             break
         sl = slice(lo, r)
-        eq = peq_flat[row_base[sl] + hsT[i, sl]]
-        x = eq | vn[sl]
-        vps = vp[sl]
-        d0 = (((x & vps) + vps) ^ vps) | x
-        hp = vn[sl] | ~(d0 | vps)
-        hn = vps & d0
-        score[sl] += ((hp >> top[sl]) & _ONE).astype(np.int64)
-        score[sl] -= ((hn >> top[sl]) & _ONE).astype(np.int64)
+        w_hi = int(hi_word[sl].max())
+        c = hsT[i, sl]
+        fi = row_base[sl] + c
+        ac = np.zeros(r - lo, dtype=np.uint64)
+        # semi-global: no horizontal carry into word 0 (first DP row
+        # is all zeros — an alignment may start at any text position)
+        hpc = np.zeros(r - lo, dtype=np.uint64)
+        hnc = np.zeros(r - lo, dtype=np.uint64)
+        dd = np.zeros(r - lo, dtype=np.int64)
+        for w in range(w_hi + 1):
+            eq = peq[w].reshape(-1)[fi]
+            vpw = vp[w, sl]
+            vnw = vn[w, sl]
+            x = eq | vnw
+            t = x & vpw
+            s = vpw + t
+            c1 = s < t
+            s = s + ac
+            c2 = s < ac
+            ac = (c1 | c2).astype(np.uint64)
+            d0 = (s ^ vpw) | x
+            hp = vnw | ~(d0 | vpw)
+            hn = vpw & d0
+            at = hi_word[sl] == w
+            if at.any():
+                dd = np.where(
+                    at,
+                    ((hp >> hi_bit[sl]) & _ONE).view(np.int64)
+                    - ((hn >> hi_bit[sl]) & _ONE).view(np.int64),
+                    dd,
+                )
+            x2 = (hp << _ONE) | hpc
+            hs2 = (hn << _ONE) | hnc
+            hpc = hp >> _S63
+            hnc = hn >> _S63
+            vn[w, sl] = x2 & d0
+            vp[w, sl] = hs2 | ~(x2 | d0)
+        score[sl] += dd
         hit_local[sl] |= score[sl] <= kk[sl]
-        # free start: shift in 0 (a new alignment may begin here)
-        x2 = hp << _ONE
-        vn[sl] = x2 & d0
-        vp[sl] = (hn << _ONE) | ~(x2 | d0)
 
     hit[order] |= hit_local
     return hit
@@ -145,7 +191,7 @@ def lev_search_batch(
         else np.full(n, k, dtype=np.int64)
     )
     m_max_all = int(nd_len.max())
-    if costs.is_unit and not anchored and 0 < m_max_all <= 64:
+    if costs.is_unit and not anchored and m_max_all > 0:
         hit = _semiglobal_any_hit(nd_mat, nd_len, hs_mat, hs_len, valid, k_all)
         hit |= nd_len == 0  # empty needles keep their DP special case
         out: list[list[tuple[int, int, int]] | None] = [None] * n
@@ -187,6 +233,11 @@ def _lev_search_dp(
     allow_t = costs.allow_transpose
 
     m_max = int(nd_len.max())
+    # subset calls (fast-path survivors) can carry a wider encode
+    # matrix than their own max needle length — the recurrences assume
+    # nd_mat width == m_max
+    if nd_mat.shape[1] != m_max:
+        nd_mat = nd_mat[:, :m_max]
     w = m_max + 1
     jj = np.arange(w, dtype=np.int64)
 
