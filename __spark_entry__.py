@@ -500,9 +500,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (asserted in tests). xxhash64 has no DuckDB twin -> rows-only.
         return with_simhash(_docs(spark, sf_dir), "text", "doc_id")
 
+    def simhash_md5_docs(spark, sf_dir):
+        # same simhash algorithm (explode -> 64 signed bit sums ->
+        # assemble) with the DuckDB-matchable md5 gram hash, so the
+        # sketch LOGIC gets a hard hash oracle (xxhash64 itself has no
+        # DuckDB twin — simhash_docs stays rows-only for that path)
+        return with_simhash(_docs(spark, sf_dir), "text", "doc_id",
+                            gram_hash="md5")
+
     def fingerprint_docs(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", fingerprint64("text").alias("fp")
+        )
+
+    def fingerprint_md5_docs(spark, sf_dir):
+        # the xor-fold fingerprint algorithm under the md5 gram hash —
+        # DuckDB-verifiable (see simhash_md5_docs)
+        return _docs(spark, sf_dir).select(
+            "doc_id", fingerprint64("text", gram_hash="md5").alias("fp")
         )
 
     def token_stats(spark, sf_dir):
@@ -698,6 +713,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("feature").cast("long").alias("feat_dim"),
         )
 
+    def media_features_docs(spark, sf_dir):
+        # the same mapInPandas feature-extraction plumbing over a media
+        # table derived from documents (content = the text's bytes), so
+        # DuckDB can reconstruct the inputs and oracle the outputs —
+        # media_features (seeded synthetic binaries) stays rows-only
+        from triple_accel_spark.operators.multimodal import extract_features
+
+        d = _docs(spark, sf_dir)
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("content"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.size("feature").cast("long").alias("feat_dim"),
+        )
+
     return {
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
@@ -719,7 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": minhash_lsh_dups,
         "dedup_near_docs": dedup_near_docs,
         "simhash_docs": simhash_docs,
+        "simhash_md5_docs": simhash_md5_docs,
         "fingerprint_docs": fingerprint_docs,
+        "fingerprint_md5_docs": fingerprint_md5_docs,
         "token_stats": token_stats,
         "quality_scores": quality_scores,
         "lang_id_docs": lang_id_docs,
@@ -734,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_transcripts_f1": er_transcripts_f1,
         "er_transcripts_synth": er_transcripts_synth,
         "media_features": media_features,
+        "media_features_docs": media_features_docs,
     }
 
 
@@ -986,6 +1030,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1.0::DOUBLE END AS jaccard
             FROM g
         """,
+        "simhash_md5_docs": f"""
+            WITH nt AS (
+              SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))::BIGINT AS h
+              FROM nt JOIN range(1, 4096) r(i)
+                ON r.i <= greatest(length(t) - 3, 1)
+            ),
+            s AS (
+              SELECT doc_id,
+                     {", ".join(f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
+              FROM g GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS simhash
+            FROM s
+        """,
+        "fingerprint_md5_docs": """
+            WITH g AS (
+              SELECT doc_id, substr(text, i::INT, 8) AS gr, i - 1 AS idx
+              FROM documents JOIN range(1, 4096) r(i)
+                ON r.i <= greatest(length(text) - 7, 1)
+            )
+            SELECT doc_id,
+                   bit_xor(('0x' || substr(md5(gr || ':' || idx::VARCHAR), 1, 15))::BIGINT) AS fp
+            FROM g GROUP BY doc_id
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    length(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
@@ -1073,6 +1147,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "media_features_docs": """
+            SELECT doc_id AS media_id,
+                   CASE (doc_id % 3) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   length(text) AS n_bytes,
+                   16 AS feat_dim
+            FROM documents
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

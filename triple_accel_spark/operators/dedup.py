@@ -263,12 +263,24 @@ def simhash64(text_col, q: int = 4) -> Column:
     return out
 
 
+def _gram_hash_expr(col, gram_hash: str) -> Column:
+    """64-bit gram hash. ``xxhash64`` is the fast default; ``md5``
+    (top 60 bits of the digest as a bigint) exists because DuckDB and
+    Spark share md5 bit-for-bit, giving the sketch ALGORITHMS a hard
+    cross-engine oracle — xxhash64 has no DuckDB twin. md5 mode is for
+    verification, not production (cryptographic hash per gram)."""
+    if gram_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     q: int = 4,
     out_col: str = "simhash",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """``(id, simhash)`` — single-pass corpus-scale SimHash.
 
@@ -279,8 +291,10 @@ def with_simhash(
     assembled JVM-side from the counts. The shuffle carries
     (id, 64 small ints) per doc regardless of document size — unlike
     the ``simhash64`` Column form, whose per-bit ``aggregate`` HOFs
-    re-walk the gram array 64 times interpreted. Fingerprints are
-    bit-identical to ``simhash64`` (same grams, hash, and sign rule).
+    re-walk the gram array 64 times interpreted. With the default
+    ``gram_hash`` fingerprints are bit-identical to ``simhash64``
+    (same grams, hash, and sign rule); ``gram_hash="md5"`` swaps in
+    the DuckDB-matchable 60-bit digest hash (see ``_gram_hash_expr``).
     """
     norm = normalized_text(text_col)
     base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t"))
@@ -291,7 +305,10 @@ def with_simhash(
             F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
         ).alias("_i"),
         "_t",
-    ).select("_sid", F.xxhash64(F.expr(f"substring(_t, _i, {q})")).alias("_h"))
+    ).select(
+        "_sid",
+        _gram_hash_expr(F.expr(f"substring(_t, _i, {q})"), gram_hash).alias("_h"),
+    )
     sums = gram_rows.groupBy("_sid").agg(
         *[
             F.sum(

@@ -94,15 +94,32 @@ def lang_id(text_col) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint64(text_col, q: int = 8) -> Column:
+def fingerprint64(text_col, q: int = 8, gram_hash: str = "xxhash64") -> Column:
     """Order-sensitive 64-bit document fingerprint: xor-fold of
     position-salted q-gram hashes (a rolling-hash-style content id that
     tolerates nothing — equal fingerprints => almost surely equal
-    docs)."""
+    docs).
+
+    ``gram_hash="md5"`` salts by concatenating ``gram:index`` and
+    hashes with md5 (top 60 digest bits as bigint) — slower, but both
+    engines share md5 bit-for-bit so DuckDB can oracle the xor-fold
+    algorithm exactly; the xxhash64 default stays the production path.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = qgrams(c, q)
     idx = F.sequence(F.lit(0), F.size(grams) - 1)
-    salted = F.zip_with(grams, idx, lambda g, i: F.xxhash64(g, i))
+    if gram_hash == "md5":
+        salted = F.zip_with(
+            grams,
+            idx,
+            lambda g, i: F.conv(
+                F.substring(F.md5(F.concat(g, F.lit(":"), i.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        )
+    else:
+        salted = F.zip_with(grams, idx, lambda g, i: F.xxhash64(g, i))
     return F.aggregate(
         salted, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
     )
