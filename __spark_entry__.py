@@ -433,9 +433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def edit_search_best_docs(spark, sf_dir):
-        # Best mode with the reference's tightening threshold + overlap
-        # merge (levenshtein.rs:1755-1838) — the merge rule is not
-        # SQL-expressible, so this stays rows-only (pytest-oracled)
+        # Best mode (tightening threshold + overlap merge,
+        # levenshtein.rs:1755-1838): every surviving match carries the
+        # GLOBAL min cost, which IS SQL-expressible as the min over
+        # substring windows — so best_k gets a hash oracle; match
+        # starts/counts (merge-rule-dependent) stay pytest-oracled
         d = _docs(spark, sf_dir)
         needle = F.substring("text", 21, 12)
         m = d.select(
@@ -444,9 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return m.select(
             "doc_id",
-            F.size("ms").cast("long").alias("n_matches"),
             F.element_at("ms", 1)["k"].cast("long").alias("best_k"),
-            F.element_at("ms", 1)["start"].cast("long").alias("first_start"),
         )
 
     def hamming_search_docs(spark, sf_dir):
@@ -911,6 +911,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.dmin <= 2 THEN c.n_at_min ELSE 0 END AS n_matches,
                    CASE WHEN c.dmin <= 2 THEN c.dmin END AS best_k
             FROM d LEFT JOIN c USING (doc_id)
+        """,
+        "edit_search_best_docs": """
+            WITH d AS (
+              SELECT doc_id, text, substr(text, 21, 12) AS needle,
+                     length(text) AS h, length(substr(text, 21, 12)) AS n
+              FROM documents
+            ),
+            costs AS (
+              SELECT d.doc_id,
+                     min(levenshtein(d.needle,
+                                     substr(d.text, (t.e - l.L + 1)::INT, l.L::INT)))
+                       AS cost
+              FROM d
+              JOIN range(0, 4096) t(e)
+                ON t.e <= d.h
+              JOIN range(0, 15) l(L)
+                ON l.L >= greatest(d.n - 2, 0) AND l.L <= least(t.e, d.n + 2)
+              GROUP BY d.doc_id, t.e
+            ),
+            best AS (
+              SELECT doc_id, min(cost) AS best_k FROM costs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN best.best_k <= 2 THEN best.best_k END AS best_k
+            FROM d LEFT JOIN best USING (doc_id)
         """,
         "minhash_lsh_dups": _DUP_EDGES_SQL,
         "dedup_near_docs": f"""

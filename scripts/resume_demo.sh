@@ -21,7 +21,10 @@ m = json.load(open(f"{w}/ckpt/manifest.json"))
 assert m["iterations"], "no committed iterations"
 m["iterations"] = m["iterations"][:1]  # crash after the first commit
 json.dump(m, open(f"{w}/ckpt/manifest.json", "w"))
-for it in range(1, 100):
+# wipe everything after the kept commit (its iteration number depends
+# on the checkpoint interval — read it from the manifest)
+kept = m["iterations"][0]["iteration"]
+for it in range(kept + 1, 100):
     shutil.rmtree(f"{w}/ckpt/iter_{it:04d}", ignore_errors=True)
 EOF
 
