@@ -37,31 +37,53 @@ from triple_accel_spark.operators.pairs import candidate_pairs
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_ids: int | None = 1000,
 ) -> DataFrame:
     """Groups of byte-identical documents: ``(digest, n_copies, ids)``.
 
-    One map-side-combinable aggregation on a fixed-width digest — the
-    canonical first pass at any corpus scale."""
+    One aggregation on a fixed-width digest. ``ids`` is truncated to
+    ``max_ids`` OUTPUT entries (``n_copies`` stays exact); note the
+    collect_list aggregation buffer still sees every id of a group, so
+    for adversarial corpora (billions of byte-identical docs under one
+    digest) use ``dedup_exact`` (fully combinable min-per-digest, no
+    list materialization) and derive membership by joining the digest.
+    ``max_ids=None`` disables the output cap."""
+    ids = F.sort_array(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            ids.alias("ids"),
         )
         .where(F.col("n_copies") > 1)
     )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per identical-content group."""
-    from pyspark.sql import Window
+    """Keep one representative (min id) per identical-content group.
 
-    win = Window.partitionBy(F.md5(F.col(text_col)))
-    return df.withColumn("_keep", F.min(F.col(id_col)).over(win)).where(
-        F.col(id_col) == F.col("_keep")
-    ).drop("_keep")
+    Min-per-digest via a map-side-combinable aggregation joined back on
+    the digest — NOT a window: ``Window.partitionBy(digest)`` funnels a
+    whole duplicate group through one task, so a pathological group
+    (the classic: billions of boilerplate copies) pins one reducer. The
+    aggregate pre-combines per input partition and the equi-join is
+    AQE-skew-splittable."""
+    digest = F.md5(F.col(text_col))
+    keep = (
+        df.select(digest.alias("_dg"), F.col(id_col))
+        .groupBy("_dg")
+        .agg(F.min(id_col).alias("_keep"))
+    )
+    return (
+        df.withColumn("_dg", digest)
+        .join(keep, "_dg")
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_dg", "_keep")
+    )
 
 
 def minhash_lsh_duplicates(
