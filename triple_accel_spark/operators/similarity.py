@@ -22,6 +22,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def topk_per_key(
+    scored: DataFrame,
+    key_col: str,
+    k: int,
+    order_col: str = "cosine",
+    tiebreak_col: str = "vec_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-key top-k that never funnels one key's full candidate
+    set through a single task.
+
+    A plain ``Window.partitionBy(key)`` rank sends EVERY candidate of a
+    key to one reducer — for corpus-sized candidate sets (brute-force
+    ANN) that is the scale killer. Two stages, both exact: rank within
+    ``(key, hash(tiebreak) % salt_buckets)`` and keep k per salt bucket
+    (partitions are 1/salt_buckets of the candidate set), then rank the
+    surviving ``<= k * salt_buckets`` rows per key. The global top-k is
+    contained in the union of per-bucket top-ks, so the result is
+    identical to the single-window rank, including the deterministic
+    ``(order desc, tiebreak asc)`` tie-break."""
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    pre = scored.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= k
+    ).drop("_r1")
+    w2 = Window.partitionBy(key_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return pre.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 def dot_expr(a, b) -> Column:
     """Dot product of two array<float> columns (JVM-side)."""
     return F.aggregate(
@@ -86,13 +119,8 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine", cosine_expr("qvec", "cvec")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
+        "query_id", id_col, "cosine", "rank"
     )
 
 
@@ -126,11 +154,8 @@ def lsh_topk(
         cand = hit if cand is None else cand.union(hit)
     cand = cand.dropDuplicates(["query_id", id_col])
     scored = cand.withColumn("cosine", cosine_expr("qvec", "cvec"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
+        "query_id", id_col, "cosine", "rank"
     )
 
 
@@ -153,11 +178,8 @@ def brute_force_all_pairs_topk(
         a.join(b, F.col("query_id") != F.col(id_col))
         .withColumn("cosine", cosine_expr("qvec", "cvec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
+        "query_id", id_col, "cosine", "rank"
     )
 
 
@@ -210,11 +232,8 @@ def lsh_all_pairs_topk(
             F.col("id_b").alias("query_id"), F.col("id_a").alias(id_col), "cosine"
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    out = (
-        both.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    out = topk_per_key(both, "query_id", k, tiebreak_col=id_col).select(
+        "query_id", id_col, "cosine", "rank"
     )
     out._persisted_frames = getattr(pairs, "_persisted_frames", [])
     return out
