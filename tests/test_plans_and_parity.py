@@ -126,3 +126,17 @@ def test_minhash_verify_plan_hash_join_no_arrays(spark):
     assert "collect_set" not in plan and "collect_list" not in plan
     for fr in getattr(out, "_persisted_frames", []):
         fr.unpersist()
+
+
+def test_with_simhash_single_aggregation(spark):
+    """with_simhash must be one map-side-combinable aggregation: a
+    single exchange, no higher-order-function re-walks of gram arrays."""
+    from triple_accel_spark.operators.dedup import with_simhash
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} repeated words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(with_simhash(df))
+    assert plan.count("Exchange") == 1
+    assert "aggregate(" not in plan  # no interpreted HOF folds

@@ -32,6 +32,13 @@ def assemble_documents(
 
     ``doc`` is the turn texts joined in (turn_idx) order with an
     out-of-alphabet separator.
+
+    Scale note: the per-conversation turn list is materialized in the
+    aggregation buffer, which is the right trade for conversations
+    (bounded, typically tens of turns — BASELINE.json input model). A
+    table where one conv_id could carry millions of rows should be
+    capped or quarantined upstream; an aggregation-buffer bound is the
+    same guarantee every groupBy-collect carries.
     """
     turns = F.array_sort(
         F.collect_list(F.struct(F.col(turn_col).alias("i"), F.col(text_col).alias("t")))
