@@ -236,3 +236,23 @@ def test_search_fast_path_equals_dp():
                 nm, nl, hm, hl, valid, ka, st, LEVENSHTEIN_COSTS, False
             )
             assert got == want, (st, k)
+
+
+def test_topk_per_key_equals_single_window(spark):
+    """Two-stage salted top-k == plain single-window top-k, including
+    duplicate-score tie-breaks."""
+    from pyspark.sql import Window
+
+    from triple_accel_spark.operators.similarity import topk_per_key
+
+    rows = [(q, i, float((q * 7 + i * 3) % 5))  # many score ties
+            for q in range(6) for i in range(200)]
+    df = spark.createDataFrame(rows, "query_id int, vec_id int, cosine double")
+    got = {(r.query_id, r.vec_id, r.rank)
+           for r in topk_per_key(df, "query_id", 7).collect()}
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    want = {(r.query_id, r.vec_id, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 7).collect()}
+    assert got == want
