@@ -4,13 +4,23 @@
 ``queries()``    — one entry per implemented operator (SURVEY.md §2 +
                    training-data ops); each callable takes
                    ``(spark, sf_dir)`` and returns a DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Omitted for
-                   ops DuckDB cannot express (OSA rdamerau — DuckDB's
-                   damerau_levenshtein is full DL; semi-global search;
-                   xxhash64-based sketches; the synthesized-transcript
-                   pipeline) — those get the driver's rows-only check
-                   and are covered by ported-reference pytest oracles
-                   instead (tests/test_kernels_vectors.py).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Where DuckDB
+                   cannot express an operator directly, a PLANTED
+                   construction oracles the same code path exactly
+                   (OSA via isolated substitutions where transpositions
+                   provably never help; affine gaps via a single
+                   deleted block; codepoint distance via bijective
+                   substitution invariance; sketches via an md5 gram
+                   hash both engines share bit-for-bit; semi-global
+                   search via min-over-window levenshtein/hamming; the
+                   transcript pipeline via a corpus derived from the
+                   documents table and replayed in SQL end to end).
+                   The few remaining rows-only entries (true xxhash64
+                   fingerprints, approximate LSH top-k, the seeded
+                   synthetic corpus, opaque synthetic media) each say
+                   why, each have a hash-verified sibling, and are
+                   covered by ported-reference pytest oracles
+                   (tests/test_kernels_vectors.py).
 
 Column names and dtypes are aligned pairwise: integers surface as
 bigint, ratios as IEEE doubles computed with the same operation order
