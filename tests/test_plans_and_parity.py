@@ -140,3 +140,31 @@ def test_with_simhash_single_aggregation(spark):
     plan = _plan(with_simhash(df))
     assert plan.count("Exchange") == 1
     assert "aggregate(" not in plan  # no interpreted HOF folds
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key/count must
+    join with NO Exchange on either side (the 100 TB repeated-join
+    shape — partitioning persisted in table metadata)."""
+    from triple_accel_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 200).selectExpr(
+            "id AS conv_id", "concat('doc', id) AS doc"
+        )
+        b = spark.range(0, 200).selectExpr(
+            "id AS conv_id", "id % 7 AS cluster_id"
+        )
+        write_bucketed(a, "t_docs_b", "conv_id", n_buckets=4)
+        write_bucketed(b, "t_labels_b", "conv_id", n_buckets=4)
+        j = read_bucketed(spark, "t_docs_b").join(
+            read_bucketed(spark, "t_labels_b"), "conv_id"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 200
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_labels_b")
