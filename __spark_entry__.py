@@ -56,10 +56,10 @@ from triple_accel_spark.operators.pairs import candidate_pairs
 from triple_accel_spark.operators.scoring import score_pairs
 from triple_accel_spark.operators.similarity import brute_force_topk, lsh_topk
 from triple_accel_spark.operators.text import (
-    fingerprint64,
     lang_id,
     quality_features,
     token_count,
+    with_fingerprint,
 )
 
 # ---------------------------------------------------------------- helpers
@@ -374,6 +374,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rdamerau(F.col("text"), mut).cast("long").alias("dist"),
         )
 
+    def rdamerau_swapped_planted(spark, sf_dir):
+        # the TRANSPOSE recurrence under a DuckDB oracle: swap the
+        # adjacent char pairs at positions (10,11), (30,31), (50,51) —
+        # each swap block is flanked by >= 17 unchanged chars, so the
+        # optimal alignment anchors on the long common runs and each
+        # block costs min(1 transposition, 2 substitutions) = 1 (or 0
+        # if the two chars are equal) in BOTH OSA and unrestricted DL;
+        # with isolated swaps the two measures provably coincide, so
+        # DuckDB's damerau_levenshtein (full DL) hash-oracles the OSA
+        # kernel (kernels/banded.py OSA recurrence; reference
+        # levenshtein.rs:233-248,1070-1098) with nonzero transposition
+        # contributions on nearly every row.
+        d = _docs(spark, sf_dir)
+        swapped = F.concat(
+            F.substring("text", 1, 9),
+            F.substring("text", 11, 1), F.substring("text", 10, 1),
+            F.substring("text", 12, 18),
+            F.substring("text", 31, 1), F.substring("text", 30, 1),
+            F.substring("text", 32, 18),
+            F.substring("text", 51, 1), F.substring("text", 50, 1),
+            F.expr("substring(text, 52)"),
+        )
+        return d.select(
+            "doc_id",
+            rdamerau(F.col("text"), swapped).cast("long").alias("dist"),
+        )
+
     def edit_costs_adjacent(spark, sf_dir):
         # generalized EditCosts path (banded DP kernel, D9/D11)
         p = _adjacent_doc_pairs(spark, sf_dir)
@@ -519,15 +546,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             gram_hash="md5")
 
     def fingerprint_docs(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", fingerprint64("text").alias("fp")
-        )
+        # single-pass scale path (explode -> combinable bit_xor; no
+        # HOFs in the plan); bit-identical to the fingerprint64 Column
+        # form (asserted in tests). xxhash64 -> rows-only.
+        return with_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
 
     def fingerprint_md5_docs(spark, sf_dir):
-        # the xor-fold fingerprint algorithm under the md5 gram hash —
+        # the same xor-fold algorithm under the md5 gram hash —
         # DuckDB-verifiable (see simhash_md5_docs)
-        return _docs(spark, sf_dir).select(
-            "doc_id", fingerprint64("text", gram_hash="md5").alias("fp")
+        return with_fingerprint(
+            _docs(spark, sf_dir), "text", "doc_id", gram_hash="md5"
         )
 
     def token_stats(spark, sf_dir):
@@ -759,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_fixed": hamming_fixed,
         "rdamerau_adjacent": rdamerau_adjacent,
         "rdamerau_planted": rdamerau_planted,
+        "rdamerau_swapped_planted": rdamerau_swapped_planted,
         "edit_costs_adjacent": edit_costs_adjacent,
         "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
@@ -861,6 +890,22 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(text,
                      substr(text, 1, 9) || '#' || substr(text, 11, 9) || '#'
                        || substr(text, 21, 9) || '#' || substr(text, 31)) AS dist
+            FROM documents
+        """,
+        "rdamerau_swapped_planted": """
+            -- DuckDB damerau_levenshtein is unrestricted DL; with
+            -- isolated adjacent swaps (>= 17-char unchanged runs
+            -- between edit sites) DL == OSA provably, so it oracles
+            -- the restricted kernel's transpose path directly
+            SELECT doc_id,
+                   damerau_levenshtein(text,
+                     substr(text, 1, 9)
+                       || substr(text, 11, 1) || substr(text, 10, 1)
+                       || substr(text, 12, 18)
+                       || substr(text, 31, 1) || substr(text, 30, 1)
+                       || substr(text, 32, 18)
+                       || substr(text, 51, 1) || substr(text, 50, 1)
+                       || substr(text, 52)) AS dist
             FROM documents
         """,
         "edit_traceback_adjacent": f"""

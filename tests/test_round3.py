@@ -1,0 +1,123 @@
+"""Round-3 additions: dedup NULL policies, single-pass fingerprint
+parity, and the isolated-swap OSA==DL planted construction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from triple_accel_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    with_simhash,
+)
+from triple_accel_spark.operators.text import fingerprint64, with_fingerprint
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def null_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, None),
+        (5, "an entirely different document body here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedupNullPolicy:
+    def test_dedup_exact_keeps_all_null_text_rows(self, null_corpus):
+        kept = sorted(
+            r.doc_id for r in dedup_exact(null_corpus, "text", "doc_id").collect()
+        )
+        # 1 wins its duplicate group; 3 and 4 are NOT duplicates of each
+        # other (NULL has no content) and must both survive
+        assert kept == [1, 3, 4, 5]
+
+    def test_exact_duplicates_excludes_null_groups(self, null_corpus):
+        groups = exact_duplicates(null_corpus, "text", "doc_id").collect()
+        assert len(groups) == 1
+        assert sorted(groups[0].ids) == [1, 2]
+        assert groups[0].n_copies == 2
+
+    def test_exact_duplicates_default_is_untruncated(self, spark):
+        df = spark.createDataFrame(
+            [(i, "same text") for i in range(1500)], "doc_id long, text string"
+        )
+        g = exact_duplicates(df, "text", "doc_id").collect()[0]
+        assert g.n_copies == 1500 and len(g.ids) == 1500
+        capped = exact_duplicates(df, "text", "doc_id", max_ids=10).collect()[0]
+        assert capped.n_copies == 1500 and len(capped.ids) == 10
+
+    def test_minhash_lsh_ignores_null_docs(self, null_corpus):
+        pairs = minhash_lsh_duplicates(
+            null_corpus, "text", "doc_id", q=3, num_hashes=8, num_bands=4,
+            jaccard_threshold=0.5,
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    def test_with_simhash_skips_null_docs(self, null_corpus):
+        out = with_simhash(null_corpus, "text", "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2, 5]
+
+
+class TestFingerprintSinglePass:
+    @pytest.mark.parametrize("gram_hash", ["xxhash64", "md5"])
+    def test_matches_column_form(self, spark, gram_hash):
+        d = spark.read.parquet(DOCS).limit(120)
+        col_form = d.select(
+            "doc_id", fingerprint64("text", gram_hash=gram_hash).alias("fp")
+        )
+        single_pass = with_fingerprint(d, "text", "doc_id", gram_hash=gram_hash)
+        diff = col_form.join(single_pass.withColumnRenamed("fp", "fp2"), "doc_id")
+        assert diff.where(F.col("fp") != F.col("fp2")).count() == 0
+        assert single_pass.count() == 120
+
+    def test_short_text_fallback_matches(self, spark):
+        # texts shorter than q take qgrams' [whole text] fallback
+        d = spark.createDataFrame(
+            [(1, "ab"), (2, ""), (3, "exactly8"), (4, "a longer text body")],
+            "doc_id long, text string",
+        )
+        a = {r.doc_id: r.fp for r in d.select(
+            "doc_id", fingerprint64("text").alias("fp")).collect()}
+        b = {r.doc_id: r.fp for r in with_fingerprint(d, "text", "doc_id").collect()}
+        assert a == b
+
+    def test_null_text_yields_no_row(self, spark):
+        d = spark.createDataFrame([(1, "abcdefghij"), (2, None)],
+                                  "doc_id long, text string")
+        assert [r.doc_id for r in with_fingerprint(d, "text", "doc_id").collect()] == [1]
+
+    def test_no_higher_order_function_in_plan(self, spark):
+        d = spark.read.parquet(DOCS)
+        plan = with_fingerprint(d, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "aggregate(" not in plan and "zip_with" not in plan
+
+
+class TestIsolatedSwapOSA:
+    def test_swapped_planted_counts_transpositions(self, spark):
+        # the planted construction must actually exercise the transpose
+        # recurrence: distance == number of swap sites whose two chars
+        # differ (1 per isolated adjacent swap), NOT 2x (substitutions)
+        from triple_accel_spark.functions import rdamerau
+
+        rows = [(1, "abcdefghij" * 8), (2, "0123456789" * 6)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        swapped = F.concat(
+            F.substring("text", 1, 9),
+            F.substring("text", 11, 1), F.substring("text", 10, 1),
+            F.substring("text", 12, 18),
+            F.substring("text", 31, 1), F.substring("text", 30, 1),
+            F.substring("text", 32, 18),
+            F.substring("text", 51, 1), F.substring("text", 50, 1),
+            F.expr("substring(text, 52)"),
+        )
+        out = {r.doc_id: r.d for r in d.select(
+            "doc_id", rdamerau(F.col("text"), swapped).alias("d")).collect()}
+        # all three swap sites have distinct chars -> exactly 3 each
+        assert out == {1: 3, 2: 3}

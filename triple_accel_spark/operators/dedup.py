@@ -38,22 +38,27 @@ from triple_accel_spark.operators.pairs import candidate_pairs
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_ids: int | None = 1000,
+    max_ids: int | None = None,
 ) -> DataFrame:
     """Groups of byte-identical documents: ``(digest, n_copies, ids)``.
 
-    One aggregation on a fixed-width digest. ``ids`` is truncated to
-    ``max_ids`` OUTPUT entries (``n_copies`` stays exact); note the
+    One aggregation on a fixed-width digest. ``ids`` carries the full
+    group membership by default; passing ``max_ids`` truncates it to
+    that many OUTPUT entries (``n_copies`` stays exact, so consumers
+    can detect capped groups via ``n_copies > size(ids)``). Note the
     collect_list aggregation buffer still sees every id of a group, so
     for adversarial corpora (billions of byte-identical docs under one
     digest) use ``dedup_exact`` (fully combinable min-per-digest, no
     list materialization) and derive membership by joining the digest.
-    ``max_ids=None`` disables the output cap."""
+    NULL policy: NULL-text rows have no content digest and are excluded
+    (a NULL document is not a duplicate of anything, including other
+    NULL documents — matching the blocking NULL policy)."""
     ids = F.sort_array(F.collect_list(id_col))
     if max_ids is not None:
         ids = F.slice(ids, 1, max_ids)
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
@@ -71,17 +76,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     whole duplicate group through one task, so a pathological group
     (the classic: billions of boilerplate copies) pins one reducer. The
     aggregate pre-combines per input partition and the equi-join is
-    AQE-skew-splittable."""
+    AQE-skew-splittable.
+
+    NULL policy: a NULL document has no content digest and is never a
+    duplicate of anything (not even another NULL document), so every
+    NULL-text row is KEPT. The join is a left join whose build side
+    holds only non-NULL digests; NULL-digest rows fall through with a
+    NULL ``_keep`` and survive the filter — a dedup operator must never
+    drop non-duplicate rows."""
     digest = F.md5(F.col(text_col))
     keep = (
         df.select(digest.alias("_dg"), F.col(id_col))
+        .where(F.col("_dg").isNotNull())
         .groupBy("_dg")
         .agg(F.min(id_col).alias("_keep"))
     )
     return (
         df.withColumn("_dg", digest)
-        .join(keep, "_dg")
-        .where(F.col(id_col) == F.col("_keep"))
+        .join(keep, "_dg", "left")
+        .where((F.col("_keep").isNull()) | (F.col(id_col) == F.col("_keep")))
         .drop("_dg", "_keep")
     )
 
@@ -108,12 +121,18 @@ def minhash_lsh_duplicates(
     candidate list, |A|/|B| are per-doc counts, and
     ``union = |A| + |B| - inter`` — every shuffle row is fixed-width.
     A lossless containment bound (``J <= min(|A|,|B|) / max(|A|,|B|)``)
-    prunes length-mismatched candidates before the counting join."""
+    prunes length-mismatched candidates before the counting join.
+
+    NULL policy (matches ``blocking.minhash_band_table``): NULL-text
+    rows yield no grams and therefore no candidate pairs — a NULL
+    document cannot be near-anything, including another NULL document."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
     norm = normalized_text(text_col)
-    base = df.select(F.col(id_col).alias("rid"), norm.alias("_t"))
+    base = df.select(F.col(id_col).alias("rid"), norm.alias("_t")).where(
+        F.col("_t").isNotNull()
+    )
     n = F.length("_t")
     gram_rows = base.select(
         "rid",
@@ -317,9 +336,15 @@ def with_simhash(
     ``gram_hash`` fingerprints are bit-identical to ``simhash64``
     (same grams, hash, and sign rule); ``gram_hash="md5"`` swaps in
     the DuckDB-matchable 60-bit digest hash (see ``_gram_hash_expr``).
+
+    NULL policy (matches the blocking/dedup operators): NULL-text rows
+    yield no fingerprint row — a NULL document has no content to
+    sketch; left-join the result if NULL-doc ids must be carried.
     """
     norm = normalized_text(text_col)
-    base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t"))
+    base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t")).where(
+        F.col("_t").isNotNull()
+    )
     n = F.length("_t")
     gram_rows = base.select(
         "_sid",

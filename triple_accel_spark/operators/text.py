@@ -10,7 +10,10 @@ All pure Column expressions (JVM, whole-stage codegen) — no UDFs:
                           languages (deterministic, documented as a
                           heuristic, not a model).
 * ``fingerprint64``     — order-sensitive rolling content fingerprint
-                          (xxhash64 fold over q-grams).
+                          (xxhash64 fold over q-grams; Column form).
+* ``with_fingerprint``  — the same fingerprint as a single-pass
+                          DataFrame op (explode -> combinable bit_xor
+                          aggregation; the corpus-scale shape).
 """
 
 from __future__ import annotations
@@ -122,4 +125,68 @@ def fingerprint64(text_col, q: int = 8, gram_hash: str = "xxhash64") -> Column:
         salted = F.zip_with(grams, idx, lambda g, i: F.xxhash64(g, i))
     return F.aggregate(
         salted, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+
+
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 8,
+    out_col: str = "fp",
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """``(id, fp)`` — single-pass corpus-scale ``fingerprint64``.
+
+    Scale shape (same rewrite as ``dedup.with_simhash``): explode the
+    q-gram positions once (plain codegen ``explode`` + ``substring``),
+    hash each position-salted gram once, then ONE map-side-combinable
+    ``groupBy(id).agg(bit_xor(...))``. XOR is commutative/associative,
+    so the combinable aggregate equals the Column form's sequential
+    fold exactly — fingerprints are bit-identical to ``fingerprint64``
+    for both gram hashes (asserted in tests), but the shuffle carries
+    one (id, long) per doc and no higher-order function appears in the
+    plan. Prefer this for whole-corpus jobs; the Column form remains
+    for ad-hoc per-row use and composition inside expressions.
+
+    NULL policy: NULL-text rows yield no fingerprint row (a NULL doc
+    has no content to fingerprint); left-join if ids must be carried.
+    """
+    base = df.select(
+        F.col(id_col).alias("_fid"), F.col(text_col).alias("_t")
+    ).where(F.col("_t").isNotNull())
+    n = F.length("_t")
+    # one row per gram start; for n < q the single row (i=1) yields
+    # substring(_t, 1, q) = the whole text, matching qgrams' short-text
+    # fallback [text] at index 0
+    gram_rows = base.select(
+        "_fid",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
+        ).alias("_i"),
+        "_t",
+    ).select(
+        "_fid",
+        F.expr(f"substring(_t, _i, {q})").alias("_g"),
+        # int arithmetic keeps the salt the same TYPE as the Column
+        # form's sequence(0, size-1) elements — xxhash64 is type-aware
+        (F.col("_i") - F.lit(1)).alias("_idx"),
+    )
+    if gram_hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_g"), F.lit(":"), F.col("_idx").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col("_g"), F.col("_idx"))
+    return (
+        gram_rows.select("_fid", h.alias("_h"))
+        .groupBy("_fid")
+        .agg(F.bit_xor("_h").alias(out_col))
+        .select(F.col("_fid").alias(id_col), out_col)
     )
