@@ -99,6 +99,55 @@ class TestFingerprintSinglePass:
         assert "aggregate(" not in plan and "zip_with" not in plan
 
 
+class TestPairDedupeShuffleWidth:
+    def test_cross_band_dedupe_carries_ids_only(self, spark):
+        # the cross-band pair dedupe must be an id-only distinct; the
+        # old shape aggregated first(doc_a)/first(doc_b), re-shuffling
+        # full payloads once more after the self-join
+        import re
+
+        from triple_accel_spark.operators.blocking import with_prefix_blocks
+        from triple_accel_spark.operators.pairs import candidate_pairs
+
+        d = spark.read.parquet(DOCS).limit(200).selectExpr(
+            "doc_id", "text as doc"
+        )
+        blocked = with_prefix_blocks(d, "doc", prefix_len=8)
+        pairs = candidate_pairs(
+            blocked, id_col="doc_id", block_col="block_key",
+            payload_cols=("doc",), max_block_size=None,
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"HashAggregate\(keys=\[id_a#\d+L?, id_b#\d+L?\], functions=\[\]", plan
+        )
+        # first(doc) may appear only in the per-record payload frame
+        # (keyed by rid), never in a pair-keyed aggregate
+        assert not re.search(
+            r"keys=\[id_a#\d+L?, id_b#\d+L?\], functions=\[\w*first", plan
+        )
+        for fr in pairs._persisted_frames:
+            fr.unpersist()
+
+    def test_payload_reattach_preserves_pairs(self, spark):
+        from triple_accel_spark.operators.blocking import with_prefix_blocks
+        from triple_accel_spark.operators.pairs import candidate_pairs
+
+        d = spark.read.parquet(DOCS).limit(200).selectExpr(
+            "doc_id", "text as doc"
+        )
+        blocked = with_prefix_blocks(d, "doc", prefix_len=8)
+        pairs = candidate_pairs(
+            blocked, id_col="doc_id", block_col="block_key",
+            payload_cols=("doc",), max_block_size=None,
+        ).collect()
+        texts = {r.doc_id: r.doc for r in d.collect()}
+        assert len(pairs) > 0
+        for r in pairs:
+            assert r.id_a < r.id_b
+            assert r.doc_a == texts[r.id_a] and r.doc_b == texts[r.id_b]
+
+
 class TestIsolatedSwapOSA:
     def test_swapped_planted_counts_transpositions(self, spark):
         # the planted construction must actually exercise the transpose

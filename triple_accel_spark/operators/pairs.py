@@ -17,7 +17,9 @@ quadratically):
   practice). Dropped-block counts surface in the metrics sink.
 
 Output pairs are canonicalized ``id_a < id_b`` and de-duplicated across
-bands with one aggregation.
+bands with one id-only ``distinct``; payload columns are re-attached
+afterwards so no document/vector bytes ever cross the quadratic part
+of the plan.
 """
 
 from __future__ import annotations
@@ -41,20 +43,41 @@ def candidate_pairs(
     Returns one row per unordered pair: ``id_a, id_b, <payload>_a,
     <payload>_b`` with ``id_a < id_b``.
 
-    Persist lifecycle: the projected input is persisted (it is consumed
-    three times — size census + both join roles). The handle is exposed
-    as ``result._persisted_frames`` so callers that materialize the
-    pairs (e.g. ``pipeline.resolve_entities``) can unpersist it;
+    Shuffle width: the self-join and the cross-band dedupe carry ONLY
+    ``(block, shard, id)`` / ``(id_a, id_b)`` rows — payloads (full
+    documents, embeddings) never ride the quadratic part of the plan.
+    They are re-attached afterwards by two equi-joins against a
+    per-record frame (one row per id, built with a map-side-combinable
+    ``first`` aggregation), so the widest payload-bearing shuffle is
+    linear in the record count, not the pair count. Payload columns
+    must be functionally dependent on the id (record attributes
+    repeated per band), which every caller satisfies.
+
+    Persist lifecycle: the projected input (and the per-record payload
+    frame, consumed by both attach joins) is persisted. The handles are
+    exposed as ``result._persisted_frames`` so callers that materialize
+    the pairs (e.g. ``pipeline.resolve_entities``) can unpersist them;
     long-lived drivers calling this repeatedly should do so.
     """
-    cols = [F.col(id_col).alias("rid"), F.col(block_col).alias("bk")] + [
-        F.col(c) for c in payload_cols
-    ]
     # the self-join consumes this frame three times (size census + left
     # + right role); persist it so the upstream blocking lineage is
-    # evaluated once, not per-consumer
-    recs = blocked.select(*cols).persist()
+    # evaluated once, not per-consumer. ids + block keys only — payload
+    # bytes stay out of the quadratic self-join entirely.
+    recs = blocked.select(
+        F.col(id_col).alias("rid"), F.col(block_col).alias("bk")
+    ).persist()
     persisted = [recs]
+    payloads = None
+    if payload_cols:
+        payloads = (
+            blocked.select(
+                F.col(id_col).alias("rid"), *[F.col(c) for c in payload_cols]
+            )
+            .groupBy("rid")
+            .agg(*[F.first(c).alias(c) for c in payload_cols])
+            .persist()
+        )
+        persisted.append(payloads)
 
     # block sizes: one aggregation, joined back (AQE handles the join)
     sizes = recs.groupBy("bk").agg(F.count(F.lit(1)).alias("bsz"))
@@ -81,7 +104,6 @@ def candidate_pairs(
         F.col("shard").alias("si"),
         F.col("other").alias("sj"),
         F.col("rid").alias("rid_l"),
-        *[F.col(c).alias(f"{c}_l") for c in payload_cols],
     )
     # right role: record in shard s joins shard pairs (i, s) for i <= s
     right = recs.withColumn(
@@ -91,7 +113,6 @@ def candidate_pairs(
         F.col("other").alias("si"),
         F.col("shard").alias("sj"),
         F.col("rid").alias("rid_r"),
-        *[F.col(c).alias(f"{c}_r") for c in payload_cols],
     )
 
     joined = left.join(right, ["bk", "si", "sj"])
@@ -105,31 +126,33 @@ def candidate_pairs(
 
     # canonicalize id_a < id_b (cross-shard pairs may arrive either way)
     flip = F.col("rid_l") > F.col("rid_r")
-    sel = [
+    pairs = joined.select(
         F.when(flip, F.col("rid_r")).otherwise(F.col("rid_l")).alias("id_a"),
         F.when(flip, F.col("rid_l")).otherwise(F.col("rid_r")).alias("id_b"),
-    ]
-    for c in payload_cols:
-        sel.append(
-            F.when(flip, F.col(f"{c}_r")).otherwise(F.col(f"{c}_l")).alias(f"{c}_a")
-        )
-        sel.append(
-            F.when(flip, F.col(f"{c}_l")).otherwise(F.col(f"{c}_r")).alias(f"{c}_b")
-        )
-    pairs = joined.select(*sel)
+    )
 
     if dedupe:
-        # a pair found by several bands must be scored once
-        if payload_cols:
-            pairs = pairs.groupBy("id_a", "id_b").agg(
-                *[
-                    F.first(f"{c}_{s}").alias(f"{c}_{s}")
-                    for c in payload_cols
-                    for s in ("a", "b")
-                ]
+        # a pair found by several bands must be scored once — the
+        # distinct shuffles (id_a, id_b) rows only
+        pairs = pairs.distinct()
+
+    if payloads is not None:
+        pa = payloads.select(
+            F.col("rid").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        pb = payloads.select(
+            F.col("rid").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        pairs = (
+            pairs.join(pa, "id_a")
+            .join(pb, "id_b")
+            .select(
+                "id_a", "id_b",
+                *[f"{c}_{s}" for c in payload_cols for s in ("a", "b")],
             )
-        else:
-            pairs = pairs.distinct()
+        )
     pairs._persisted_frames = persisted
     return pairs
 
