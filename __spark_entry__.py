@@ -589,9 +589,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
         corpus = dbl.where(F.col("vec_id") >= 10)
-        top = brute_force_topk(corpus, qs, k=10)
+        # expr impl: the sequential Column fold reproduces DuckDB's
+        # accumulation order bit-for-bit (raw unrounded doubles hash)
+        top = brute_force_topk(corpus, qs, k=10, vec_impl="expr")
         return top.select(
             "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+
+    def ann_topk_arrow(spark, sf_dir):
+        # the BLAS-batched Arrow cosine path (einsum over stacked
+        # float64 batches) under the same exact-top-k oracle; doubles
+        # rounded to 9 decimals on both sides because matmul's pairwise
+        # summation differs from the sequential fold in the last ulp
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 10)
+        top = brute_force_topk(corpus, qs, k=10, vec_impl="arrow")
+        return top.select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
         )
 
     def ann_lsh(spark, sf_dir):
@@ -618,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         )
-        top = brute_force_all_pairs_topk(corpus, k=5)
+        top = brute_force_all_pairs_topk(corpus, k=5, vec_impl="expr")
         return top.select(
             "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
@@ -644,11 +664,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         corpus = dbl.union(dups)
         out = embedding_near_duplicates(corpus, "embedding", "vec_id",
-                                        cosine_threshold=0.999)
+                                        cosine_threshold=0.999,
+                                        vec_impl="expr")
         # round for the oracle compare: DuckDB's list_cosine_similarity
         # accumulates in a slightly different order than the sequential
         # aggregate fold, so raw doubles can differ in the last ulp on
         # exactly-parallel vectors (1.0 vs 1.0000000000000002)
+        return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+    def embedding_dups_arrow(spark, sf_dir):
+        # the Arrow path (batched matmul buckets + einsum cosine) on
+        # the same planted corpus and exact cross-join oracle: scaled
+        # copies share every sign bucket bit-exactly under matmul too
+        # (x0.5 is an exact IEEE scaling), so LSH recall stays 1.0
+        from triple_accel_spark.operators.dedup import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        dups = dbl.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = dbl.union(dups)
+        out = embedding_near_duplicates(corpus, "embedding", "vec_id",
+                                        cosine_threshold=0.999,
+                                        vec_impl="arrow")
         return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
     def er_matches_docs(spark, sf_dir):
@@ -806,9 +849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "lang_id_docs": lang_id_docs,
         "ann_topk": ann_topk,
+        "ann_topk_arrow": ann_topk_arrow,
         "ann_lsh": ann_lsh,
         "ann_allpairs": ann_allpairs,
         "embedding_dups": embedding_dups,
+        "embedding_dups_arrow": embedding_dups_arrow,
         "er_matches_docs": er_matches_docs,
         "er_clusters_docs": er_clusters_docs,
         "events_hourly": events_hourly,
@@ -1208,6 +1253,41 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_topk_arrow": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cosine
+              FROM dbl q CROSS JOIN dbl c
+              WHERE q.vec_id < 10 AND c.vec_id >= 10
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_dups_arrow": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, v FROM dbl
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(v, x -> x * 0.5::DOUBLE)
+              FROM dbl WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 9) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
         """,
         "er_matches_docs": f"""
             SELECT id_a, id_b, dist, sim, sim >= {ER_TAU} AS is_match

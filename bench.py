@@ -155,6 +155,21 @@ def main() -> None:
     sec, _ = timed_best2(lambda: brute_force_topk(corpus, qs, k=10).count())
     queries["q4_ann_topk"] = round(sec, 3)
 
+    # q4b: corpus x corpus approximate top-k (LSH buckets + batched
+    # matmul/einsum vector math — the large-query-set ANN scale path)
+    from triple_accel_spark.operators.similarity import lsh_all_pairs_topk
+
+    def allpairs():
+        out = lsh_all_pairs_topk(emb, k=5, n_planes=6, n_tables=8)
+        n = out.count()
+        for fr in getattr(out, "_persisted_frames", []):
+            fr.unpersist()
+        return n
+
+    sec, n_nbrs = timed_best2(allpairs)
+    queries["q4b_ann_allpairs_lsh"] = round(sec, 3)
+    extra["allpairs_neighbors"] = n_nbrs
+
     # q5: hamming kernel over fixed-width prefixes of sf documents
     from triple_accel_spark.functions import hamming
 

@@ -148,6 +148,84 @@ class TestPairDedupeShuffleWidth:
             assert r.doc_a == texts[r.id_a] and r.doc_b == texts[r.id_b]
 
 
+class TestArrowVectorMath:
+    EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        emb = spark.read.parquet(self.EMB).limit(300)
+        return emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).persist()
+
+    def test_bucket_arrow_equals_expr_exactly(self, vecs):
+        from triple_accel_spark.operators.similarity import (
+            hyperplane_bucket,
+            hyperplane_bucket_arrow,
+        )
+
+        both = vecs.select(
+            "vec_id",
+            hyperplane_bucket(F.col("v"), 12, 42).alias("be"),
+            hyperplane_bucket_arrow(vecs, F.col("v"), 12, 42).alias("ba"),
+        )
+        assert both.where(F.col("be") != F.col("ba")).count() == 0
+
+    def test_multitable_buckets_match_per_table_expr(self, vecs):
+        from triple_accel_spark.operators.similarity import (
+            hyperplane_bucket,
+            multitable_buckets_arrow,
+        )
+
+        n_planes, n_tables = 4, 6
+        expr_cols = F.array(
+            *[hyperplane_bucket(F.col("v"), n_planes, 42 + t) for t in range(n_tables)]
+        )
+        both = vecs.select(
+            expr_cols.alias("be"),
+            multitable_buckets_arrow(vecs, F.col("v"), n_planes, n_tables, 42).alias("ba"),
+        )
+        assert both.where(F.col("be") != F.col("ba")).count() == 0
+
+    def test_cosine_arrow_matches_expr_to_1e9(self, vecs):
+        from triple_accel_spark.operators.similarity import cosine_arrow, cosine_expr
+
+        a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+        b = vecs.select((F.col("vec_id") - 1).alias("ia"), F.col("v").alias("vb"))
+        p = a.join(b, "ia")
+        diff = p.select(
+            (F.abs(cosine_arrow("va", "vb") - cosine_expr("va", "vb"))).alias("d")
+        ).agg(F.max("d")).collect()[0][0]
+        assert diff < 1e-9
+
+    def test_single_arrow_eval_node_in_filtered_plan(self, vecs):
+        # .asNondeterministic(): a filter referencing the UDF must not
+        # duplicate it into a second ArrowEvalPython evaluation
+        from triple_accel_spark.operators.similarity import cosine_arrow
+
+        a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+        b = vecs.select((F.col("vec_id") - 1).alias("ia"), F.col("v").alias("vb"))
+        q = (
+            a.join(b, "ia")
+            .withColumn("cosine", cosine_arrow("va", "vb"))
+            .where(F.col("cosine") > 0.2)
+            .select("ia", "cosine")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_lsh_all_pairs_arrow_equals_expr_pairs(self, vecs):
+        from triple_accel_spark.operators.similarity import lsh_all_pairs_topk
+
+        kw = dict(k=5, vec_col="v", id_col="vec_id", n_planes=4, n_tables=6)
+        ar = lsh_all_pairs_topk(vecs, vec_impl="arrow", **kw)
+        ex = lsh_all_pairs_topk(vecs, vec_impl="expr", **kw)
+        ra = {(r.query_id, r.vec_id, r.rank) for r in ar.collect()}
+        re_ = {(r.query_id, r.vec_id, r.rank) for r in ex.collect()}
+        assert ra == re_
+
+
 class TestIsolatedSwapOSA:
     def test_swapped_planted_counts_transpositions(self, spark):
         # the planted construction must actually exercise the transpose

@@ -395,22 +395,23 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     seed: int = 42,
     max_block_size: int | None = 20000,
+    vec_impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
     Sign-bucket the vectors with ``n_planes`` deterministic hyperplanes
     (one bigint bucket key), self-join within buckets, verify exact
-    cosine JVM-side. Collision probability for angle θ is
+    cosine. Collision probability for angle θ is
     ``(1 - θ/π)^n_planes`` — near-duplicates (θ≈0) almost surely
-    collide; distant vectors are pruned."""
-    from triple_accel_spark.operators.similarity import (
-        cosine_expr,
-        hyperplane_bucket,
-    )
+    collide; distant vectors are pruned. ``vec_impl`` selects the
+    BLAS-batched Arrow vector math (default) or the Column-expression
+    form (see ``operators.similarity``)."""
+    from triple_accel_spark.operators.similarity import _bucket, _cosine
 
-    base = df.select(
-        F.col(id_col).alias("rid"), F.col(vec_col).alias("vec")
-    ).withColumn("block_key", hyperplane_bucket(F.col("vec"), n_planes, seed))
+    base = df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    base = base.withColumn(
+        "block_key", _bucket(base, F.col("vec"), n_planes, seed, vec_impl)
+    )
     pairs = candidate_pairs(
         base,
         id_col="rid",
@@ -419,7 +420,7 @@ def embedding_near_duplicates(
         max_block_size=max_block_size,
     )
     return (
-        pairs.withColumn("cosine", cosine_expr("vec_a", "vec_b"))
+        pairs.withColumn("cosine", _cosine("vec_a", "vec_b", vec_impl))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -2,24 +2,45 @@
 
 * ``cosine_expr``        — exact cosine as a pure Column expression
                            (``aggregate``/``zip_with``; JVM-side).
+* ``cosine_arrow``       — the same cosine as an Arrow-batched pandas
+                           UDF: each batch is stacked into a
+                           ``(rows, dim)`` float64 matrix and scored
+                           with one einsum — the corpus-scale path.
 * ``brute_force_topk``   — exact top-k neighbors for a (small) query
                            set: broadcast queries x corpus, window
                            rank. The correctness baseline.
-* ``hyperplane_bucket``  — deterministic random-hyperplane LSH key.
+* ``hyperplane_bucket``  — deterministic random-hyperplane LSH key
+                           (Column form; plus an Arrow batched variant
+                           that does one ``mat @ planes.T`` per batch).
 * ``lsh_topk``           — bucketed approximate top-k: equi-join on
                            bucket instead of the full cross product —
                            the 100 TB scale path (cross product is
                            O(N*Q); bucketing cuts it by ~2^planes).
 
+Vector math has two interchangeable implementations selected by
+``vec_impl``: ``"arrow"`` (default — BLAS-batched pandas UDFs; Spark
+evaluates higher-order array functions INTERPRETED per element, a
+large constant-factor tax at corpus scale) and ``"expr"`` (pure
+Column expressions — used by the DuckDB-oracle driver queries because
+their sequential fold order reproduces DuckDB's accumulation
+bit-for-bit). Both produce identical results up to the last-ulp
+summation-order difference; tests assert exact bucket equality and
+cosine agreement at 1e-9 on the test corpus.
+
 Hyperplanes are generated from ``xxhash64`` of (plane, dim) so they are
 deterministic, identical on every executor, and need no broadcast of
-random state.
+random state; the Arrow path materializes the same (tiny) plane matrix
+once on the driver via the identical hash expressions and ships it in
+the UDF closure.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def topk_per_key(
@@ -77,6 +98,136 @@ def cosine_expr(a, b) -> Column:
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_arrow(a, b) -> Column:
+    """Arrow-batched exact cosine: one einsum per Arrow batch over the
+    stacked ``(rows, dim)`` float64 matrices instead of three
+    interpreted per-element array folds per row. Marked
+    nondeterministic so Catalyst never duplicates the UDF into a
+    pushed-down filter AND the projection (one ArrowEvalPython node;
+    same documented trade as ``scoring.score_pairs``). Requires
+    non-null, equal-length vectors (the embedding-table contract)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        if ma.size == 0:
+            return pd.Series(np.zeros(len(va)))
+        dot = np.einsum("ij,ij->i", ma, mb)
+        denom = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        out = np.divide(dot, denom, out=np.zeros_like(dot), where=denom > 0)
+        return pd.Series(out)
+
+    return _cos.asNondeterministic()(a, b)
+
+
+# (n_planes, dim, seed) -> (n_planes, dim) float64 — tiny, deterministic
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def plane_matrix(spark, n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The hyperplane components as a driver-side NumPy matrix, computed
+    with the SAME Spark hash expressions as ``_plane_component`` so the
+    Arrow and Column bucket paths see bit-identical planes. n_planes x
+    dim doubles — negligible to collect and to close over."""
+    key = (n_planes, dim, seed)
+    m = _PLANE_CACHE.get(key)
+    if m is None:
+        base = spark.range(dim).select(F.col("id").cast("int").alias("i"))
+        rows = base.select(
+            "i",
+            *[_plane_component(p, F.col("i"), seed).alias(f"p{p}") for p in range(n_planes)],
+        ).orderBy("i").collect()
+        m = np.array(
+            [[r[f"p{p}"] for p in range(n_planes)] for r in rows], dtype=np.float64
+        ).T
+        _PLANE_CACHE[key] = m
+    return m
+
+
+def hyperplane_bucket_arrow(
+    df: DataFrame, vec: Column, n_planes: int = 12, seed: int = 42
+) -> Column:
+    """Arrow-batched sign-LSH bucket: ONE ``mat @ planes.T`` per Arrow
+    batch replaces ``n_planes`` interpreted array folds per row. The
+    plane matrix is materialized once via ``plane_matrix`` (identical
+    hash-derived components as the Column form; exact bucket equality
+    is asserted in tests). ``df`` supplies the session and the vector
+    dimensionality (one single-row job)."""
+    first = df.select(F.size(vec).alias("d")).first()
+    if first is None or first["d"] is None:
+        # empty input / null vectors: fall back to the Column form (no
+        # dimension to build a matrix from; result set is empty anyway)
+        return hyperplane_bucket(vec, n_planes, seed)
+    planes = plane_matrix(df.sparkSession, n_planes, int(first["d"]), seed)
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series(np.zeros(len(v), dtype=np.int64))
+        bits = (mat @ planes.T) >= 0  # (rows, n_planes)
+        out = np.zeros(mat.shape[0], dtype=np.int64)
+        for p in range(planes.shape[0]):
+            out |= bits[:, p].astype(np.int64) << p
+        return pd.Series(out)
+
+    return _bucket.asNondeterministic()(vec)
+
+
+def multitable_buckets_arrow(
+    df: DataFrame, vec: Column, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """``array<long>`` of per-table sign-LSH buckets (table t's planes
+    are seeded ``seed + t``, matching the Column form), computed with a
+    single stacked matmul per Arrow batch instead of
+    ``n_tables * n_planes`` interpreted folds per row."""
+    first = df.select(F.size(vec).alias("d")).first()
+    if first is None or first["d"] is None:
+        return F.array(
+            *[hyperplane_bucket(vec, n_planes, seed + t) for t in range(n_tables)]
+        )
+    dim = int(first["d"])
+    spark = df.sparkSession
+    planes_all = np.vstack(
+        [plane_matrix(spark, n_planes, dim, seed + t) for t in range(n_tables)]
+    )  # (n_tables * n_planes, dim)
+
+    @pandas_udf("array<long>")
+    def _mb(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([[0] * n_tables] * len(v))
+        bits = ((mat @ planes_all.T) >= 0).astype(np.int64)  # (rows, T*P)
+        out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + p] << p
+        return pd.Series(list(out))
+
+    return _mb.asNondeterministic()(vec)
+
+
+def _cosine(a, b, vec_impl: str) -> Column:
+    if vec_impl == "arrow":
+        return cosine_arrow(a, b)
+    if vec_impl == "expr":
+        return cosine_expr(a, b)
+    raise ValueError(f"vec_impl must be 'arrow' or 'expr', got {vec_impl!r}")
+
+
+def _bucket(df, vec: Column, n_planes: int, seed: int, vec_impl: str) -> Column:
+    if vec_impl == "arrow":
+        return hyperplane_bucket_arrow(df, vec, n_planes, seed)
+    if vec_impl == "expr":
+        return hyperplane_bucket(vec, n_planes, seed)
+    raise ValueError(f"vec_impl must be 'arrow' or 'expr', got {vec_impl!r}")
+
+
 def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
     """Deterministic pseudo-gaussian-ish component in [-1, 1): derived
     from xxhash64(plane, dim, seed) — sign-LSH only needs symmetry."""
@@ -106,6 +257,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    vec_impl: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: ``(query_id, vec_id, cosine, rank)``.
 
@@ -117,7 +269,7 @@ def brute_force_topk(
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", cosine_expr("qvec", "cvec")
+        "cosine", _cosine("qvec", "cvec", vec_impl)
     )
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
@@ -134,6 +286,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    vec_impl: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -146,14 +299,14 @@ def lsh_topk(
     )
     cand = None
     for t in range(n_tables):
-        cb = c.withColumn("bucket", hyperplane_bucket(F.col("cvec"), n_planes, seed + t))
-        qb = q.withColumn("bucket", hyperplane_bucket(F.col("qvec"), n_planes, seed + t))
+        cb = c.withColumn("bucket", _bucket(c, F.col("cvec"), n_planes, seed + t, vec_impl))
+        qb = q.withColumn("bucket", _bucket(q, F.col("qvec"), n_planes, seed + t, vec_impl))
         hit = cb.join(F.broadcast(qb), "bucket").select(
             "query_id", id_col, "qvec", "cvec"
         )
         cand = hit if cand is None else cand.union(hit)
     cand = cand.dropDuplicates(["query_id", id_col])
-    scored = cand.withColumn("cosine", cosine_expr("qvec", "cvec"))
+    scored = cand.withColumn("cosine", _cosine("qvec", "cvec", vec_impl))
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
     )
@@ -164,6 +317,7 @@ def brute_force_all_pairs_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vec_impl: str = "arrow",
 ) -> DataFrame:
     """Exact corpus x corpus top-k neighbor lists:
     ``(query_id, vec_id, cosine, rank)`` for every corpus row.
@@ -176,7 +330,7 @@ def brute_force_all_pairs_topk(
     b = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
     scored = (
         a.join(b, F.col("query_id") != F.col(id_col))
-        .withColumn("cosine", cosine_expr("qvec", "cvec"))
+        .withColumn("cosine", _cosine("qvec", "cvec", vec_impl))
     )
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
@@ -192,6 +346,7 @@ def lsh_all_pairs_topk(
     n_tables: int = 12,
     seed: int = 42,
     max_block_size: int | None = 100_000,
+    vec_impl: str = "arrow",
 ) -> DataFrame:
     """Approximate corpus x corpus top-k (no broadcastable query side):
     the large-query-set ANN scale path.
@@ -208,15 +363,27 @@ def lsh_all_pairs_topk(
     from triple_accel_spark.operators.pairs import candidate_pairs
 
     base = corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
-    keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(t), hyperplane_bucket(F.col("vec"), n_planes, seed + t)
-            )
-            for t in range(n_tables)
-        ]
-    )
-    blocked = base.withColumn("block_key", F.explode(keys))
+    if vec_impl == "arrow":
+        # ALL tables' sign buckets from ONE (rows, dim) @ (dim, T*P)
+        # matmul per Arrow batch; table keys are then mixed JVM-side
+        # with the same xxhash64(table, bucket) layout as the Column
+        # form (posexplode's pos == the table index, same int type)
+        buckets = multitable_buckets_arrow(base, F.col("vec"), n_planes, n_tables, seed)
+        blocked = base.select(
+            "rid", "vec", F.posexplode(buckets).alias("_t", "_b")
+        ).select(
+            "rid", "vec", F.xxhash64(F.col("_t"), F.col("_b")).alias("block_key")
+        )
+    else:
+        keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(t), hyperplane_bucket(F.col("vec"), n_planes, seed + t)
+                )
+                for t in range(n_tables)
+            ]
+        )
+        blocked = base.withColumn("block_key", F.explode(keys))
     pairs = candidate_pairs(
         blocked,
         id_col="rid",
@@ -224,7 +391,7 @@ def lsh_all_pairs_topk(
         payload_cols=("vec",),
         max_block_size=max_block_size,
     )
-    scored = pairs.withColumn("cosine", cosine_expr("vec_a", "vec_b"))
+    scored = pairs.withColumn("cosine", _cosine("vec_a", "vec_b", vec_impl))
     both = scored.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias(id_col), "cosine"
     ).union(
