@@ -5,8 +5,13 @@ Launch (the north-rule deployment shape)::
     spark-submit --py-files triple_accel_spark.zip jobs/resolve_job.py \
         --input  /path/to/transcripts.parquet \
         --output /path/to/out \
+        [--format parquet|table|iceberg|<datasource>] \
         [--checkpoint-dir /path/to/ckpt] [--sim-threshold 0.88] \
         [--synth N]   # no --input: synthesize N entities (dev/demo)
+
+``--format table``/``iceberg`` treats ``--input`` as a catalog table
+identifier (``spark.table``; see ``sources.transcripts.load_transcripts``
+for the Iceberg session-config keys) — the north-rule input shape.
 
 Writes ``{output}/clusters`` (parquet: id, cluster_id) and
 ``{output}/metrics.json``; CC iterations checkpoint under
@@ -24,6 +29,7 @@ import time
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", default=None)
+    p.add_argument("--format", dest="source_format", default="parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-dir", default=None)
@@ -40,7 +46,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.input:
-        transcripts = spark.read.parquet(args.input)
+        from triple_accel_spark.sources.transcripts import load_transcripts
+
+        transcripts = load_transcripts(spark, args.input, args.source_format)
     else:
         from triple_accel_spark.sources.transcripts import generate_transcripts
 
@@ -62,6 +70,7 @@ def main() -> None:
     with open(f"{args.output}/metrics.json", "w") as f:
         json.dump(res.metrics, f, indent=2)
     print(json.dumps(res.metrics))
+    res.unpersist()
     spark.stop()
 
 

@@ -280,6 +280,60 @@ class TestPPMDecode:
         assert r.mean_px == sum(range(24)) / 24
 
 
+class TestPipelineLifecycleAndRouting:
+    @pytest.fixture(scope="class")
+    def transcripts(self, spark):
+        from triple_accel_spark.sources.transcripts import generate_transcripts
+
+        tdf, _ = generate_transcripts(n_entities=120, seed=7)
+        return spark.createDataFrame(tdf)
+
+    def test_unpersist_releases_all_result_caches(self, spark, transcripts):
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        before = len(jsc.getRDDStorageInfo())
+        for _ in range(2):  # repeated invocations must not accumulate
+            with resolve_entities(transcripts, ResolveConfig(sim_threshold=0.88)):
+                pass
+        assert len(jsc.getRDDStorageInfo()) == before
+
+    def test_local_and_distributed_cc_agree(self, spark, transcripts):
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+        with resolve_entities(
+            transcripts, ResolveConfig(sim_threshold=0.88)
+        ) as res_local, resolve_entities(
+            transcripts, ResolveConfig(sim_threshold=0.88, cc_local_threshold=0)
+        ) as res_dist:
+            assert res_local.metrics["cc_path"] == "local"
+            assert res_dist.metrics["cc_path"] == "distributed"
+            a = {(r.id, r.cluster_id) for r in res_local.clusters.collect()}
+            b = {(r.id, r.cluster_id) for r in res_dist.clusters.collect()}
+            assert a == b
+
+    def test_catalog_table_source_seam(self, spark, transcripts, tmp_path):
+        # the iceberg seam: --format table resolves the input through
+        # the catalog (spark.table), preserving bucket metadata; no
+        # iceberg jars in the sandbox, so the bucketed managed table
+        # stands in for the catalog-resolved path end to end
+        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+        from triple_accel_spark.sources.bucketed import write_bucketed
+        from triple_accel_spark.sources.transcripts import load_transcripts
+
+        write_bucketed(transcripts, "r3_transcripts_tbl", "conv_id", n_buckets=8)
+        try:
+            t = load_transcripts(spark, "r3_transcripts_tbl", "table")
+            assert t.count() == transcripts.count()
+            with resolve_entities(t, ResolveConfig(sim_threshold=0.88)) as res:
+                assert res.metrics["n_records"] == transcripts.select(
+                    "conv_id"
+                ).distinct().count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS r3_transcripts_tbl")
+
+
 class TestIsolatedSwapOSA:
     def test_swapped_planted_counts_transpositions(self, spark):
         # the planted construction must actually exercise the transpose

@@ -75,6 +75,23 @@ class ResolveResult:
     clusters: DataFrame
     metrics: dict
 
+    def unpersist(self) -> None:
+        """Release the caches backing the returned frames (``docs``,
+        ``pairs_scored``, ``clusters``; ``matches`` is a filter over
+        ``pairs_scored``). Call when done consuming the result —
+        repeated ``resolve_entities`` invocations in one long-lived
+        driver otherwise accumulate executor storage. Also usable as a
+        context manager: ``with resolve_entities(t) as res: ...``."""
+        for df in (self.docs, self.pairs_scored, self.clusters):
+            df.unpersist()
+
+    def __enter__(self) -> "ResolveResult":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.unpersist()
+        return False
+
 
 def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -> ResolveResult:
     """Run the full pipeline; returns intermediate and final frames plus

@@ -123,3 +123,41 @@ def write_corpus(spark, out_dir: str, **kwargs) -> tuple[str, str]:
     spark.createDataFrame(tdf).repartition(8).write.mode("overwrite").parquet(tpath)
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(ppath)
     return tpath, ppath
+
+
+def load_transcripts(
+    spark,
+    source: str,
+    source_format: str = "parquet",
+    options: dict | None = None,
+):
+    """Load the transcript input table through a pluggable source seam.
+
+    ``source_format``:
+
+    * ``"parquet"`` (default) / any path-based DataSource name —
+      ``spark.read.format(fmt).options(...).load(source)``.
+    * ``"table"`` or ``"iceberg"`` — ``source`` is a CATALOG TABLE
+      identifier resolved via ``spark.table`` (bucketed managed tables
+      here; Iceberg tables on a real cluster). Iceberg needs only
+      session config, no code change:
+      ``spark.sql.catalog.<cat>=org.apache.iceberg.spark.SparkCatalog``
+      + ``spark.sql.catalog.<cat>.type=hive|hadoop|rest`` and the
+      iceberg-spark-runtime jar on the classpath; time travel etc. pass
+      through ``options`` (e.g. ``snapshot-id``) via
+      ``spark.read.options(...).table(source)``.
+
+    Reading through the catalog (rather than raw files) preserves
+    bucketing metadata (`sources.bucketed`) and, for Iceberg,
+    partition/sort specs — which is what keeps the downstream joins
+    co-located at 10^12-turn scale.
+    """
+    if source_format in ("table", "iceberg"):
+        reader = spark.read
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return reader.table(source)
+    reader = spark.read.format(source_format)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(source)
