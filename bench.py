@@ -192,6 +192,22 @@ def main() -> None:
                    .agg(F.sum("d")).collect())
     queries["q5_hamming"] = round(sec, 3)
 
+    # q6: long-needle ANCHORED fuzzy search (the Myers prescan's
+    # anchored global-boundary mode): does each doc's own 96-char
+    # middle occur at the start of the doc within k=9 edits?
+    from triple_accel_spark.functions import edit_search
+
+    needle = F.substring("text", 81, 96)
+    sec, _ = timed_best2(
+        lambda: sf_docs.select(
+            F.size(
+                edit_search(needle, F.col("text"), k=9, search_type="best",
+                            anchored=True)
+            ).alias("n")
+        ).agg(F.sum("n")).collect()
+    )
+    queries["q6_anchored_search"] = round(sec, 3)
+
     total = round(sum(queries.values()), 3)
     spark.stop()
 

@@ -334,6 +334,113 @@ class TestPipelineLifecycleAndRouting:
             spark.sql("DROP TABLE IF EXISTS r3_transcripts_tbl")
 
 
+class TestAnchoredPrescan:
+    def test_anchored_fast_path_equals_dp(self):
+        """The anchored Myers prescan + subset DP must be bit-identical
+        to the pure anchored DP (needles spanning 1..199 chars cover
+        the multi-word carry-in path)."""
+        import numpy as np
+
+        from triple_accel_spark.kernels.costs import LEVENSHTEIN_COSTS
+        from triple_accel_spark.kernels.encode import encode_batch
+        from triple_accel_spark.kernels.search import (
+            _lev_search_dp,
+            lev_search_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        al = np.frombuffer(b"abcd", dtype=np.uint8)
+
+        def mk(n):
+            return rng.choice(al, n).astype(np.uint8).tobytes().decode()
+
+        needles, hays = [], []
+        for i in range(250):
+            m = int(rng.integers(1, 200))
+            h = int(rng.integers(0, 240))
+            nd, hy = mk(m), mk(h)
+            if i % 3 == 0:
+                hy = nd + hy  # anchored hit at the start
+            needles.append(nd)
+            hays.append(hy)
+        needles += [None, "ab", ""]
+        hays += ["abc", None, "xyz"]
+        for st in ("best", "all"):
+            for k in (None, 0, 2):
+                got = lev_search_batch(
+                    needles, hays, k=k, search_type=st, anchored=True
+                )
+                nm, nl, _ = encode_batch(needles)
+                hm, hl, _ = encode_batch(hays)
+                valid = np.array(
+                    [a is not None and b is not None for a, b in zip(needles, hays)]
+                )
+                ka = (
+                    ((nl >> 1) + (nl & 1)).astype(np.int64)
+                    if k is None
+                    else np.full(len(needles), k, dtype=np.int64)
+                )
+                want = _lev_search_dp(
+                    nm, nl, hm, hl, valid, ka, st, LEVENSHTEIN_COSTS, True
+                )
+                assert got == want, (st, k)
+
+
+class TestCombinedCostTraceback:
+    def test_struct_matches_separate_calls(self, spark):
+        from triple_accel_spark.functions import (
+            edit_distance,
+            edit_traceback,
+            edit_with_traceback,
+        )
+
+        d = spark.read.parquet(DOCS).limit(40)
+        p = d.select(
+            "doc_id",
+            F.col("text").alias("ta"),
+            F.concat(F.substring("text", 1, 30), F.lit("XY"),
+                     F.expr("substring(text, 31)")).alias("tb"),
+        )
+        rows = p.select(
+            "doc_id",
+            edit_with_traceback("ta", "tb").alias("ct"),
+            edit_distance("ta", "tb").alias("cost2"),
+            edit_traceback("ta", "tb").alias("trace2"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.ct.cost == r.cost2
+            # e["count"], not e.count: Row.count is a method
+            assert [(e.edit, e["count"]) for e in r.ct.trace] == [
+                (e.edit, e["count"]) for e in r.trace2
+            ]
+
+    def test_k_cutoff_nulls_fields(self, spark):
+        from triple_accel_spark.functions import edit_with_traceback
+
+        p = spark.createDataFrame(
+            [(1, "abcdef", "abcdef"), (2, "abcdef", "zzzzzz"), (3, None, "x")],
+            "id long, ta string, tb string",
+        )
+        rows = {r.id: r.ct for r in p.select(
+            "id", edit_with_traceback("ta", "tb", k=2).alias("ct")).collect()}
+        assert rows[1].cost == 0 and rows[1].trace[0].edit == "match"
+        assert rows[2].cost is None and rows[2].trace is None
+        assert rows[3].cost is None and rows[3].trace is None
+
+    def test_compat_with_opts_returns_struct(self, spark):
+        from triple_accel_spark.functions import compat
+
+        p = spark.createDataFrame([("kitten", "sitting")], "ta string, tb string")
+        r = p.select(
+            compat.levenshtein_simd_k_with_opts("ta", "tb", 5, trace_on=True)
+            .alias("ct")
+        ).collect()[0]
+        assert r.ct.cost == 3
+        total = sum(e["count"] for e in r.ct.trace if e.edit != "match")
+        assert total == 3
+
+
 class TestIsolatedSwapOSA:
     def test_swapped_planted_counts_transpositions(self, spark):
         # the planted construction must actually exercise the transpose

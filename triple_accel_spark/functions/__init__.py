@@ -296,6 +296,40 @@ def edit_traceback(a, b, costs: EditCosts = LEVENSHTEIN_COSTS) -> Column:
     return _udf(a, b)
 
 
+EDIT_TRACE_SCHEMA = "cost int, trace array<struct<edit:string,count:int>>"
+
+
+def edit_with_traceback(
+    a, b, k: int | None = None, costs: EditCosts = LEVENSHTEIN_COSTS
+) -> Column:
+    """Distance AND run-length-encoded edit script from ONE kernel run:
+    ``struct<cost int, trace array<struct<edit,count>>>`` (the
+    reference's with_opts functions return the ``(cost, trace)`` tuple
+    in one call, levenshtein.rs:714,1480 — separate ``edit_distance`` +
+    ``edit_traceback`` columns would run the DP twice). Fields are NULL
+    where the distance exceeds ``k`` or an input is NULL."""
+
+    @pandas_udf(EDIT_TRACE_SCHEMA)
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        n = len(sa)
+        cost_out = np.full(n, np.nan)
+        trace_out: list = [None] * n
+        key = np.maximum(_lengths(sa), _lengths(sb))
+        av, bv = sa.to_numpy(dtype=object), sb.to_numpy(dtype=object)
+        for idx in _sorted_chunks(n, key, _CHUNK_TRACE):
+            d, ok, traces = lev_batch(av[idx], bv[idx], k, costs, trace=True)
+            for pos, i in enumerate(idx):
+                if ok[pos]:
+                    cost_out[i] = d[pos]
+                    if traces[pos] is not None:
+                        trace_out[i] = [
+                            {"edit": e, "count": c} for e, c in traces[pos]
+                        ]
+        return pd.DataFrame({"cost": cost_out, "trace": trace_out})
+
+    return _udf(a, b)
+
+
 def edit_search(
     needle,
     haystack,

@@ -32,7 +32,7 @@ from pyspark.sql import Column
 from triple_accel_spark.functions import (
     edit_distance,
     edit_search,
-    edit_traceback,
+    edit_with_traceback,
 )
 from triple_accel_spark.functions import hamming as _hamming
 from triple_accel_spark.functions import hamming_search as _hamming_search
@@ -119,9 +119,11 @@ def levenstein_naive_str(a, b) -> Column:
 def levenshtein_naive_with_opts(
     a, b, trace_on: bool = False, costs: EditCosts = LEVENSHTEIN_COSTS
 ) -> Column:
-    """levenshtein.rs:148 — (cost, traceback); traceback as a separate
-    column function (Spark columns are scalar-typed)."""
-    return edit_traceback(a, b, costs) if trace_on else edit_distance(a, b, costs=costs)
+    """levenshtein.rs:148 — ``(cost, trace)`` struct in one kernel run
+    when ``trace_on`` (see levenshtein_simd_k_with_opts)."""
+    if trace_on:
+        return edit_with_traceback(a, b, costs=costs)
+    return edit_distance(a, b, costs=costs)
 
 
 def levenshtein_naive_k(a, b, k: int) -> Column:
@@ -132,9 +134,10 @@ def levenshtein_naive_k(a, b, k: int) -> Column:
 def levenshtein_naive_k_with_opts(
     a, b, k: int, trace_on: bool = False, costs: EditCosts = LEVENSHTEIN_COSTS
 ) -> Column:
-    """levenshtein.rs:376."""
+    """levenshtein.rs:376 — ``(cost, trace)`` struct in one kernel run
+    when ``trace_on``; fields NULL above ``k``."""
     if trace_on:
-        return edit_traceback(a, b, costs)
+        return edit_with_traceback(a, b, k=k, costs=costs)
     return edit_distance(a, b, k=k, costs=costs)
 
 
@@ -152,9 +155,11 @@ def levenshtein_simd_k_str(a, b, k: int) -> Column:
 def levenshtein_simd_k_with_opts(
     a, b, k: int, trace_on: bool = False, costs: EditCosts = LEVENSHTEIN_COSTS
 ) -> Column:
-    """levenshtein.rs:714."""
+    """levenshtein.rs:714 — with ``trace_on`` the reference returns the
+    ``(cost, Option<trace>)`` TUPLE from one DP run; mirrored here as a
+    ``struct<cost, trace>`` column from one kernel run."""
     if trace_on:
-        return edit_traceback(a, b, costs)
+        return edit_with_traceback(a, b, k=k, costs=costs)
     return edit_distance(a, b, k=k, costs=costs)
 
 
@@ -167,8 +172,11 @@ def levenshtein_exp(a, b) -> Column:
 def levenshtein_exp_with_opts(
     a, b, trace_on: bool = False, costs: EditCosts = LEVENSHTEIN_COSTS
 ) -> Column:
-    """levenshtein.rs:1480."""
-    return edit_traceback(a, b, costs) if trace_on else edit_distance(a, b, costs=costs)
+    """levenshtein.rs:1480 — ``(cost, trace)`` struct in one kernel run
+    when ``trace_on`` (see levenshtein_simd_k_with_opts)."""
+    if trace_on:
+        return edit_with_traceback(a, b, costs=costs)
+    return edit_distance(a, b, costs=costs)
 
 
 def rdamerau(a, b) -> Column:

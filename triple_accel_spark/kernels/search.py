@@ -19,12 +19,13 @@ vectorized across the batch — intended for short needles against long
 haystacks (the reference benches needles at 1/10 of haystack length,
 benches/rand_benchmarks.rs:39-43).
 
-Unit-cost fast path: a Myers bit-parallel SEMI-GLOBAL scan (the
-reference's own SIMD search strategy, levenshtein.rs:1911-2451 —
-first DP row free, O(words) uint64 ops per haystack char instead of
-O(len(needle)) DP cells; multi-word Hyyrö blocks for needles of any
-length) computes the exact per-end-position cost for the whole batch
-first; the quirk-exact DP (start positions, length tie-breaks,
+Unit-cost fast path (free-start AND anchored): a Myers bit-parallel
+SEMI-GLOBAL scan (the reference's own SIMD search strategy,
+levenshtein.rs:1911-2451 — first DP row free, or the global-boundary
+carry-in for anchored mode; O(words) uint64 ops per haystack char
+instead of O(len(needle)) DP cells; multi-word Hyyrö blocks for
+needles of any length) computes the exact per-end-position cost for
+the whole batch first; the quirk-exact DP (start positions, length tie-breaks,
 Best-mode merge) then runs ONLY on rows that have at least one end
 within k. Search over a corpus is hit-sparse, so the expensive
 machinery touches a tiny fraction of rows; results are bit-identical
@@ -55,14 +56,18 @@ def _semiglobal_any_hit(
     hs_len: np.ndarray,
     valid: np.ndarray,
     k_arr: np.ndarray,
+    anchored: bool = False,
 ) -> np.ndarray:
     """Exact "does any end position cost <= k" per row, via the Myers
-    bit-parallel semi-global recurrence (unit costs, free alignment
-    start: word-0 horizontal carry-in is 0 and the score column starts
-    at m). Multi-word (Hyyrö block) for needles of any length; one
-    batch-vectorized uint64 step per (haystack char, needle word);
-    rows are haystack-length-sorted so finished rows retire from a
-    contiguous suffix."""
+    bit-parallel semi-global recurrence (unit costs). Alignment-start
+    modes: free start (word-0 horizontal carry-in 0 — D[i][0] = 0) or
+    ``anchored`` (carry-in 1 per step, Myers's global-boundary ``| 1``
+    injection — D[i][0] = i; scan bounded at m + k haystack chars,
+    past which D[i][m] >= i - m > k always). The score column starts at
+    m in both modes. Multi-word (Hyyrö block) for needles of any
+    length; one batch-vectorized uint64 step per (haystack char,
+    needle word); rows are scan-length-sorted so finished rows retire
+    from a contiguous suffix."""
     n = nd_mat.shape[0]
     hit = np.zeros(n, dtype=bool)
     rows = np.nonzero(valid & (nd_len > 0))[0]
@@ -71,10 +76,13 @@ def _semiglobal_any_hit(
     # the fully-gapped match at position 0 (cost = needle length)
     hit[rows] = nd_len[rows] <= k_arr[rows]
 
-    order = rows[np.argsort(hs_len[rows], kind="stable")]
+    eff_len = hs_len.astype(np.int64)
+    if anchored:
+        eff_len = np.minimum(eff_len, nd_len.astype(np.int64) + k_arr)
+    order = rows[np.argsort(eff_len[rows], kind="stable")]
     r = order.size
     m = nd_len[order]
-    hl = hs_len[order].astype(np.int64)
+    hl = eff_len[order]
     kk = k_arr[order]
 
     # dense alphabet remap shrinks the peq gather table
@@ -127,9 +135,13 @@ def _semiglobal_any_hit(
         c = hsT[i, sl]
         fi = row_base[sl] + c
         ac = np.zeros(r - lo, dtype=np.uint64)
-        # semi-global: no horizontal carry into word 0 (first DP row
-        # is all zeros — an alignment may start at any text position)
-        hpc = np.zeros(r - lo, dtype=np.uint64)
+        # word-0 horizontal carry-in: 0 for free-start semi-global (an
+        # alignment may begin at any text position), 1 for anchored
+        # (every skipped haystack prefix char costs one deletion)
+        if anchored:
+            hpc = np.ones(r - lo, dtype=np.uint64)
+        else:
+            hpc = np.zeros(r - lo, dtype=np.uint64)
         hnc = np.zeros(r - lo, dtype=np.uint64)
         dd = np.zeros(r - lo, dtype=np.int64)
         for w in range(w_hi + 1):
@@ -191,8 +203,10 @@ def lev_search_batch(
         else np.full(n, k, dtype=np.int64)
     )
     m_max_all = int(nd_len.max())
-    if costs.is_unit and not anchored and m_max_all > 0:
-        hit = _semiglobal_any_hit(nd_mat, nd_len, hs_mat, hs_len, valid, k_all)
+    if costs.is_unit and m_max_all > 0:
+        hit = _semiglobal_any_hit(
+            nd_mat, nd_len, hs_mat, hs_len, valid, k_all, anchored
+        )
         hit |= nd_len == 0  # empty needles keep their DP special case
         out: list[list[tuple[int, int, int]] | None] = [None] * n
         for i in np.nonzero(valid)[0]:
