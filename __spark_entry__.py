@@ -523,6 +523,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q=5, num_hashes=32, num_bands=16, jaccard_threshold=0.8,
         )
 
+    def simhash_near_dups(spark, sf_dir):
+        # SimHash bit-band LSH near-dup pairs on the planted corpus.
+        # Recall is structurally 1.0 (pigeonhole: hamming <= 3 < 4
+        # bands forces a shared untouched band), so the exact O(n^2)
+        # Hamming filter over DuckDB-recomputed md5-gram simhashes is
+        # a hard hash oracle for the whole operator.
+        from triple_accel_spark.operators.dedup import simhash_near_duplicates
+
+        return simhash_near_duplicates(
+            _dup_corpus(spark, sf_dir), "text", "doc_id",
+            q=4, max_hamming=3, n_bands=4, gram_hash="md5",
+        )
+
     def dedup_near_docs(spark, sf_dir):
         from triple_accel_spark.operators.dedup import dedup_near
 
@@ -862,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
         "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_near_dups": simhash_near_dups,
         "dedup_near_docs": dedup_near_docs,
         "simhash_docs": simhash_docs,
         "simhash_md5_docs": simhash_md5_docs,
@@ -1061,6 +1075,36 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN best USING (doc_id)
         """,
         "minhash_lsh_dups": _DUP_EDGES_SQL,
+        "simhash_near_dups": f"""
+            -- exact O(n^2) Hamming filter over simhashes recomputed
+            -- from scratch (shared md5 gram hash); equals the banded
+            -- operator's output because pigeonhole recall is 1.0
+            WITH corpus AS ({_DUP_CORPUS_SQL}),
+            nt AS (
+              SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM corpus
+            ),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))::BIGINT AS h
+              FROM nt JOIN range(1, 4096) r(i)
+                ON r.i <= greatest(length(t) - 3, 1)
+            ),
+            s AS (
+              SELECT doc_id,
+                     {", ".join(f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
+              FROM g GROUP BY doc_id
+            ),
+            sh AS (
+              SELECT doc_id,
+                     ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS v
+              FROM s
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.v, b.v)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
         "dedup_near_docs": f"""
             WITH RECURSIVE m AS ({_DUP_EDGES_SQL}),
             corpus AS ({_DUP_CORPUS_SQL}),

@@ -148,6 +148,49 @@ class TestPairDedupeShuffleWidth:
             assert r.doc_a == texts[r.id_a] and r.doc_b == texts[r.id_b]
 
 
+class TestSimhashNearDuplicates:
+    def test_banded_equals_exact_cross_join(self, spark):
+        # pigeonhole recall is structural: the banded operator must
+        # EQUAL the brute-force Hamming filter over the same sketches
+        # (production xxhash64 mode, no oracle involved)
+        from triple_accel_spark.operators.dedup import (
+            simhash_near_duplicates,
+            with_simhash,
+        )
+
+        d = spark.read.parquet(DOCS).where(F.col("doc_id") < 200)
+        mut = d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.substring("text", 1, 30), F.lit("@"),
+                     F.expr("substring(text, 32)")).alias("text"),
+        )
+        corpus = d.select("doc_id", "text").union(mut)
+        got = simhash_near_duplicates(
+            corpus, "text", "doc_id", max_hamming=5, n_bands=8
+        )
+        pairs = {(r.id_a, r.id_b, r.hamming) for r in got.collect()}
+        for fr in got._persisted_frames:
+            fr.unpersist()
+        sh = with_simhash(corpus, "text", "doc_id", out_col="sh")
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        exact = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
+            .where(F.col("hamming") <= 5)
+        )
+        want = {(r.id_a, r.id_b, r.hamming) for r in exact.collect()}
+        assert pairs == want and len(want) > 0
+
+    def test_guarantee_precondition_enforced(self, spark):
+        from triple_accel_spark.operators.dedup import simhash_near_duplicates
+
+        d = spark.read.parquet(DOCS).limit(5)
+        with pytest.raises(ValueError):
+            simhash_near_duplicates(d, max_hamming=4, n_bands=4)
+
+
 class TestArrowVectorMath:
     EMB = "/root/testdata/sf0.001/embeddings.parquet"
 
