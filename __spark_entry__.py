@@ -637,6 +637,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = dbl.where(F.col("vec_id") >= 10)
         return lsh_topk(corpus, qs, k=10)
 
+    def ann_ivf(spark, sf_dir):
+        # inverted-file ANN at realistic settings — approximate by
+        # design, so rows-only; the full-probe sibling below is the
+        # hash-verified degenerate case, and planted-copy recall is
+        # pytest-asserted (tests/test_round3.py)
+        from triple_accel_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 10)
+        return ivf_topk(corpus, qs, k=10, n_centroids=32, n_probe=8)
+
+    def ann_ivf_fullprobe(spark, sf_dir):
+        # probing every centroid makes the candidate set the whole
+        # corpus, so the IVF machinery (codebook, assignment matmul,
+        # probe-list bucket join, salted top-k) must reproduce the
+        # exact brute-force result — a hard hash oracle for the
+        # operator's plumbing
+        from triple_accel_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 10)
+        top = ivf_topk(corpus, qs, k=10, n_centroids=16, n_probe=16)
+        return top.select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def ann_allpairs(spark, sf_dir):
         # corpus x corpus top-k neighbor lists, exact baseline (the
         # recall yardstick for lsh_all_pairs_topk, which is
@@ -887,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_topk_arrow": ann_topk_arrow,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ann_ivf_fullprobe": ann_ivf_fullprobe,
         "ann_allpairs": ann_allpairs,
         "embedding_dups": embedding_dups,
         "embedding_dups_arrow": embedding_dups_arrow,
@@ -1322,6 +1361,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
         """,
         "ann_topk_arrow": """
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cosine
+              FROM dbl q CROSS JOIN dbl c
+              WHERE q.vec_id < 10 AND c.vec_id >= 10
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf_fullprobe": """
             WITH dbl AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ),

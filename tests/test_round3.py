@@ -148,6 +148,50 @@ class TestPairDedupeShuffleWidth:
             assert r.doc_a == texts[r.id_a] and r.doc_b == texts[r.id_b]
 
 
+class TestIVFTopK:
+    EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+    @pytest.fixture(scope="class")
+    def dbl(self, spark):
+        emb = spark.read.parquet(self.EMB)
+        return emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        ).persist()
+
+    def test_full_probe_equals_brute_force(self, dbl):
+        from triple_accel_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        qs = dbl.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+        corpus = dbl.where(F.col("vec_id") >= 8)
+        ivf = ivf_topk(corpus, qs, k=5, n_centroids=16, n_probe=16)
+        bf = brute_force_topk(corpus, qs, k=5)
+        a = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+        b = {(r.query_id, r.vec_id, r.rank) for r in bf.collect()}
+        assert a == b and len(a) == 40
+
+    def test_planted_copy_recall_is_one(self, dbl):
+        # a scaled copy has the identical normalized vector, hence the
+        # same nearest centroid and probe list as its source — the
+        # source is always in a probed bucket, so top-1 recall on
+        # planted copies is exactly 1.0 at ANY n_probe
+        from triple_accel_spark.operators.similarity import ivf_topk
+
+        corpus = dbl.where(F.col("vec_id") < 300)
+        qs = corpus.where(F.col("vec_id") % 5 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.25)).alias("embedding"),
+        )
+        top1 = ivf_topk(corpus, qs, k=1, n_centroids=32, n_probe=2)
+        rows = top1.collect()
+        assert len(rows) == qs.count()
+        for r in rows:
+            assert r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-9
+
+
 class TestSimhashNearDuplicates:
     def test_banded_equals_exact_cross_join(self, spark):
         # pigeonhole recall is structural: the banded operator must

@@ -16,6 +16,10 @@
                            bucket instead of the full cross product —
                            the 100 TB scale path (cross product is
                            O(N*Q); bucketing cuts it by ~2^planes).
+* ``ivf_topk``           — inverted-file ANN: deterministic codebook,
+                           one-matmul centroid assignment, probe-list
+                           bucket join (the other standard scale path;
+                           full-probe degenerates to the exact result).
 
 Vector math has two interchangeable implementations selected by
 ``vec_impl``: ``"arrow"`` (default — BLAS-batched pandas UDFs; Spark
@@ -307,6 +311,88 @@ def lsh_topk(
         cand = hit if cand is None else cand.union(hit)
     cand = cand.dropDuplicates(["query_id", id_col])
     scored = cand.withColumn("cosine", _cosine("qvec", "cvec", vec_impl))
+    return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
+        "query_id", id_col, "cosine", "rank"
+    )
+
+
+def _centroid_matrix(
+    corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int
+) -> np.ndarray:
+    """Deterministic IVF codebook: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id)`` (a seedless deterministic
+    sample), L2-normalized so assignment argmax(dot) == argmax(cosine).
+    Tiny (C x dim) — collected to the driver and shipped in the UDF
+    closure like the hyperplane matrix."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_i")))
+        .orderBy("_h", "_i")
+        .limit(n_centroids)
+        .collect()
+    )
+    mat = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: per vector, the indices of its ``n_probe`` nearest
+    codebook centroids by cosine (one matmul per Arrow batch)."""
+
+    @pandas_udf("array<int>")
+    def _nc(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([[]] * len(v))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ centroids.T  # (rows, C)
+        p = min(n_probe, centroids.shape[0])
+        # argpartition + exact sort of the top slice: O(C) per row
+        idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        order = np.take_along_axis(sims, idx, 1).argsort(axis=1)[:, ::-1]
+        top = np.take_along_axis(idx, order, 1).astype(np.int32)
+        return pd.Series(list(top))
+
+    return _nc.asNondeterministic()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    vec_impl: str = "arrow",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    other standard ANN scale path next to sign-LSH: assign every corpus
+    vector to its nearest codebook centroid (one broadcast matmul per
+    Arrow batch; the corpus is scanned once and shuffles only on the
+    small ``cid`` key), probe each query's ``n_probe`` nearest
+    centroids, exact-score only the probed buckets, salted top-k.
+    Candidate volume is ~``n_probe/n_centroids`` of the corpus per
+    query. With ``n_probe == n_centroids`` every bucket is probed and
+    the result EQUALS the exact brute-force top-k (the driver-oracle
+    construction); recall at realistic settings is asserted in tests
+    against ``brute_force_topk``."""
+    cents = _centroid_matrix(corpus, vec_col, id_col, n_centroids)
+    nc1 = _nearest_centroids_udf(cents, 1)
+    ncp = _nearest_centroids_udf(cents, n_probe)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")).withColumn(
+        "cid", nc1(F.col("cvec")).getItem(0)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cid", F.explode(ncp(F.col("qvec"))))
+    scored = c.join(F.broadcast(q), "cid").withColumn(
+        "cosine", _cosine("qvec", "cvec", vec_impl)
+    )
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
     )
