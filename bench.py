@@ -41,6 +41,12 @@ N_ENTITIES = max(100, int(15000 * SF))
 PAIR_FANOUT = 60
 
 
+def progress(msg: str) -> None:
+    """Stage marker on STDERR (the driver consumes only the stdout
+    JSON line); makes slow stages attributable when a run is watched."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def timed(fn):
     t0 = time.time()
     out = fn()
@@ -83,12 +89,14 @@ def scoring_pairs(docs):
     return j.select("id_a", "id_b", "doc_a", "doc_b")
 
 
-def run_scoring_stage(spark, docs, k):
+def run_scoring_stage(spark, docs, k, pairs_df=None):
     # the generator uses a global row_number (one partition); spread the
     # materialized pair frame across the cluster before timing so the
     # measurement is the scoring stage, not a single-task bottleneck
     cpus = spark.sparkContext.defaultParallelism
-    pairs = scoring_pairs(docs).repartition(cpus * 2).persist()
+    if pairs_df is None:
+        pairs_df = scoring_pairs(docs).repartition(cpus * 2)
+    pairs = pairs_df.persist()
     n_pairs = pairs.count()  # materialize: timing below isolates scoring
     # warm the Python worker pool (fork + numpy/pandas import happens
     # once per worker; steady-state throughput is the metric)
@@ -109,12 +117,14 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict = {"sf": SF, "cpus": CPUS, "n_entities": N_ENTITIES}
 
+    progress("build_docs")
     docs = build_docs(spark)
     n_docs = docs.count()
     max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
     k = max(1, int(0.12 * max_len) + 1)
     extra["n_docs"] = n_docs
 
+    progress("q1")
     # q1: headline — bulk pair scoring (Myers bit-parallel kernel)
     n_pairs, _, sec = run_scoring_stage(spark, docs, k)
     queries["q1_pair_scoring"] = round(sec, 3)
@@ -122,6 +132,7 @@ def main() -> None:
     extra["pairs_scored"] = n_pairs
     extra["pairs_per_sec"] = round(pairs_per_sec, 1)
 
+    progress("q2")
     # q2: full ER pipeline — the actual pipeline operator
     # (resolve_entities: assemble -> block -> pair -> per-pair-k score
     # -> threshold -> CC with the bounded small-graph fast path)
@@ -139,6 +150,7 @@ def main() -> None:
     queries["q2_er_pipeline"] = round(sec, 3)
     extra["er_records"] = n_clustered
 
+    progress("q2b")
     # q2b: the same pipeline with the bounded-local-graph fast path
     # DISABLED, so the distributed star-contraction CC is always
     # exercised and tracked (the default routing would otherwise hide
@@ -148,6 +160,7 @@ def main() -> None:
     sec, _ = timed_best2(lambda: er(cc_local_threshold=0))
     queries["q2b_cc_distributed"] = round(sec, 3)
 
+    progress("q3")
     # q3: minhash LSH dedup over the sf documents table
     spark.catalog.clearCache()
     sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -155,6 +168,7 @@ def main() -> None:
         sf_docs, "text", "doc_id", jaccard_threshold=0.5).count())
     queries["q3_minhash_dedup"] = round(sec, 3)
 
+    progress("q4")
     # q4: brute-force cosine top-k over the sf embeddings table
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id",
@@ -165,6 +179,7 @@ def main() -> None:
     sec, _ = timed_best2(lambda: brute_force_topk(corpus, qs, k=10).count())
     queries["q4_ann_topk"] = round(sec, 3)
 
+    progress("q4b")
     # q4b: corpus x corpus approximate top-k (LSH buckets + batched
     # matmul/einsum vector math — the large-query-set ANN scale path)
     from triple_accel_spark.operators.similarity import lsh_all_pairs_topk
@@ -180,6 +195,7 @@ def main() -> None:
     queries["q4b_ann_allpairs_lsh"] = round(sec, 3)
     extra["allpairs_neighbors"] = n_nbrs
 
+    progress("q5")
     # q5: hamming kernel over fixed-width prefixes of sf documents
     from triple_accel_spark.functions import hamming
 
@@ -192,6 +208,7 @@ def main() -> None:
                    .agg(F.sum("d")).collect())
     queries["q5_hamming"] = round(sec, 3)
 
+    progress("q6")
     # q6: long-needle ANCHORED fuzzy search (the Myers prescan's
     # anchored global-boundary mode): does each doc's own 96-char
     # middle occur at the start of the doc within k=9 edits?
@@ -209,17 +226,21 @@ def main() -> None:
     queries["q6_anchored_search"] = round(sec, 3)
 
     total = round(sum(queries.values()), 3)
-    spark.stop()
 
     # North-rule scaling evidence, measured IN-RUN (never copied from a
-    # previous run): the identical scoring job at local[2] vs local[8]
-    # — N vs 4N parallelism with per-core memory resources
+    # previous run): the identical scoring stage at local[2] vs
+    # local[8] — N vs 4N parallelism with per-core memory resources
     # unconstrained at both ends, the sandbox analogue of adding
     # executor NODES (which bring their own LLC/DRAM).
     # SPARK_GRAFT_SCALING=1 adds the local[32] point, which shares one
     # socket's LLC/DRAM across all 32 workers — a single-box hardware
     # ceiling that a no-Spark multiprocessing control experiment hits
     # identically (methodology + control data: BASELINE.md).
+    # The pair frame is materialized ONCE here (full parallelism) and
+    # read back byte-identically by every scaling session: corpus
+    # construction is not the measured stage, and rebuilding ~1M pairs
+    # inside a 2-core session tripled the block's wall time.
+    progress("scaling: materialize shared pair frame")
     global PAIR_FANOUT
     PAIR_FANOUT = 400  # with the floored corpus below: ~1M pairs. Each
     # point needs enough kernel work that fixed per-job/stage costs are
@@ -229,16 +250,29 @@ def main() -> None:
     # (the scaling points are compared against EACH OTHER on identical
     # input, so the corpus size only needs to be honest across points)
     scaling_entities = max(N_ENTITIES, 1500)
+    spark.catalog.clearCache()
+    sdocs = build_docs(spark, scaling_entities)
+    pairs_path = "/tmp/spark_graft_bench_pairs.parquet"
+    scoring_pairs(sdocs).repartition(64).write.mode("overwrite").parquet(pairs_path)
+    spark.stop()
+
     points = (2, 8, 32) if os.environ.get("SPARK_GRAFT_SCALING") == "1" else (2, 8)
     scaling = {}
     for n in points:
+        progress(f"scaling local[{n}]")
+        # small scan splits (engine default 256m would coalesce the
+        # ~1 GB pair file into ~5 splits and starve the read), then
+        # repartition to the SAME 2x-cores layout the in-session flow
+        # used: the timed stage must see identical partition/Arrow-
+        # batch geometry per core at both points, or per-task fixed
+        # costs skew the ratio (70 small cached partitions measured
+        # 0.70-1.07 run-to-run; the 2x-cores layout is stable)
         s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
-                      shuffle_partitions=n)
-        d = build_docs(s, scaling_entities)
-        best = None
-        for _ in range(2):  # best-of-2: steady state, not fork storm
-            np_, _, sec = run_scoring_stage(s, d, k)
-            best = sec if best is None else min(best, sec)
+                      shuffle_partitions=n,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
+        np_, _, best = run_scoring_stage(
+            s, None, k, pairs_df=s.read.parquet(pairs_path).repartition(n * 2)
+        )
         scaling[f"local[{n}]"] = {
             "pairs": np_, "sec": round(best, 3),
             "pairs_per_sec": round(np_ / best, 1),

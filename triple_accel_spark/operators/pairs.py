@@ -59,21 +59,23 @@ def candidate_pairs(
     the pairs (e.g. ``pipeline.resolve_entities``) can unpersist them;
     long-lived drivers calling this repeatedly should do so.
     """
-    # the self-join consumes this frame three times (size census + left
-    # + right role); persist it so the upstream blocking lineage is
-    # evaluated once, not per-consumer. ids + block keys only — payload
-    # bytes stay out of the quadratic self-join entirely.
-    recs = blocked.select(
-        F.col(id_col).alias("rid"), F.col(block_col).alias("bk")
+    # ONE persisted projection feeds every consumer (size census + both
+    # join roles + the payload frame), so the upstream blocking lineage
+    # is evaluated exactly once. The cache is in-memory COLUMNAR, so
+    # the id/key-only reads below prune the payload columns at the
+    # cache scan — payload bytes still never enter the quadratic
+    # self-join's shuffles.
+    base = blocked.select(
+        F.col(id_col).alias("rid"),
+        F.col(block_col).alias("bk"),
+        *[F.col(c) for c in payload_cols],
     ).persist()
-    persisted = [recs]
+    persisted = [base]
+    recs = base.select("rid", "bk")
     payloads = None
     if payload_cols:
         payloads = (
-            blocked.select(
-                F.col(id_col).alias("rid"), *[F.col(c) for c in payload_cols]
-            )
-            .groupBy("rid")
+            base.groupBy("rid")
             .agg(*[F.first(c).alias(c) for c in payload_cols])
             .persist()
         )
