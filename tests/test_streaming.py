@@ -78,6 +78,94 @@ def test_stream_block_keys_end_to_end(spark, corpus, tmp_path):
     assert joined.count() == 0
 
 
+def test_stream_assign_clusters_stateful(spark, tmp_path):
+    """applyInPandasWithState incremental assignment: planted
+    near-duplicates sharing a block must land in their original's
+    cluster; originals become representatives."""
+    from triple_accel_spark.streaming.incremental import stream_assign_clusters
+
+    d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 120
+    )
+    # keep only docs whose 12-char block is UNIQUE among the originals:
+    # two similar originals in one block would legitimately co-cluster
+    # and make the per-pair assertion ambiguous
+    from pyspark.sql import Window
+
+    d = (
+        d0.withColumn("_bk", F.substring("text", 1, 12))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_bk")))
+        .where(F.col("_n") == 1)
+        .drop("_bk", "_n")
+    )
+    base = d.select(
+        F.concat(F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+        .alias("conv_id"),
+        F.col("text").alias("doc"),
+    )
+    # duplicate with one substituted char past the blocking prefix;
+    # 'd' > 'c' so the original is processed first (conv_id order) and
+    # seeds the representative set
+    dups = d.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+        .alias("conv_id"),
+        F.concat(F.substring("text", 1, 40), F.lit("Q"),
+                 F.expr("substring(text, 42)")).alias("doc"),
+    )
+    blocked = base.union(dups).withColumn(
+        "block_key", F.substring("doc", 1, 12)
+    )
+    src = str(tmp_path / "blocked")
+    # one file -> one micro-batch: arrival order inside a batch is
+    # conv_id-sorted by the operator, but order ACROSS micro-batches is
+    # the file source's choice and would make rep seeding nondeterministic
+    blocked.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "conv_id string, doc string, block_key string"
+    ).parquet(src)
+    assigned = stream_assign_clusters(stream, sim_threshold=0.88)
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("assigned_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the stateful query keeps scheduling no-data batches to service
+    # processing-time timeouts, so it neither self-terminates under
+    # availableNow nor returns from processAllAvailable — poll the
+    # sink for the expected row count, then stop explicitly
+    import time as _time
+
+    expected = blocked.count()
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        if (
+            spark.sql("select count(*) from assigned_stream").collect()[0][0]
+            >= expected
+        ):
+            break
+        _time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
+    got = {
+        (r.conv_id, r.block_key): r.cluster_id
+        for r in spark.sql("select * from assigned_stream").collect()
+    }
+    n_base = base.count()
+    n_dups = dups.count()
+    assert len(got) == n_base + n_dups
+    # every dup shares its original's block (mutation is past the
+    # prefix) and must land in the original's cluster there; blocks
+    # are unique among originals, so the original is its own rep
+    for r in dups.collect():
+        orig = "c" + r.conv_id[1:]
+        bk = r.doc[:12]
+        assert got[(orig, bk)] == orig
+        assert got[(r.conv_id, bk)] == orig
+
+
 def test_stream_match_against_static_index(spark, corpus, tmp_path):
     t, truth = corpus
     docs = assemble_documents(t)

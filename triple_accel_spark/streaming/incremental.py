@@ -16,11 +16,19 @@ stream agree on buckets.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from triple_accel_spark.operators.blocking import with_minhash_blocks_expr
 from triple_accel_spark.operators.scoring import score_pairs
+
+ASSIGN_SCHEMA = (
+    "block_key string, conv_id string, cluster_id string, sim double"
+)
+_ASSIGN_STATE_SCHEMA = "ids array<string>, docs array<string>"
 
 
 def stream_block_keys(
@@ -85,3 +93,104 @@ def stream_match_against_index(
         "block_key"
     )
     return score_pairs(pairs, "doc_a", "doc_b", k=k, sim_threshold=sim_threshold)
+
+
+def stream_assign_clusters(
+    blocked_stream: DataFrame,
+    sim_threshold: float = 0.88,
+    max_reps_per_block: int = 64,
+    state_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``):
+    incremental per-block cluster assignment.
+
+    Per block key, the state store holds the block's cluster
+    REPRESENTATIVES (id + doc, capped at ``max_reps_per_block``). Each
+    arriving doc is scored against the current representatives with the
+    batch edit-distance kernel (one vectorized kernel call per doc, not
+    per pair); if the best normalized similarity clears
+    ``sim_threshold`` the doc is assigned that representative's
+    cluster, otherwise it becomes a NEW representative. Emits
+    ``(block_key, conv_id, cluster_id, sim)`` in append mode.
+
+    This is the streaming analogue of pair-join + threshold + CC for
+    the common case where clusters are representative-shaped
+    (duplicates of a canonical doc): state is O(representatives), not
+    O(stream), arrival order inside a micro-batch is made deterministic
+    by sorting on conv_id, and idle blocks expire after
+    ``state_timeout_ms`` of processing time (bounded state at
+    10^12-turn scale; an expired block simply re-seeds on its next
+    arrival). ``state_timeout_ms=0`` disables expiry (NoTimeout) — note
+    a timeout-enabled query keeps scheduling no-data batches to service
+    expirations, so it will not self-terminate under ``availableNow``
+    triggers; stop it explicitly (or use 0 in run-to-completion
+    harnesses). Cross-block consolidation — a doc assigned in several
+    bands — is a downstream batch concern (min-cluster aggregation /
+    connected components), same as the batch pipeline.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr = float(sim_threshold)
+    cap = int(max_reps_per_block)
+    ttl = int(state_timeout_ms)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def assign(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        from triple_accel_spark.kernels.banded import lev_batch
+
+        ids, docs = state.get if state.exists else ([], [])
+        ids, docs = list(ids), list(docs)
+        out_id, out_cl, out_sim = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("conv_id").iterrows():
+                doc = row["doc"]
+                best_i, best_sim = -1, -1.0
+                if docs and doc is not None:
+                    d, ok, _ = lev_batch([doc] * len(docs), docs)
+                    for i in range(len(docs)):
+                        if not ok[i]:
+                            continue
+                        sim = 1.0 - float(d[i]) / max(len(doc), len(docs[i]), 1)
+                        if sim > best_sim:
+                            best_i, best_sim = i, sim
+                if best_sim >= thr:
+                    cluster = ids[best_i]
+                elif doc is not None and len(ids) < cap:
+                    ids.append(row["conv_id"])
+                    docs.append(doc)
+                    cluster, best_sim = row["conv_id"], 1.0
+                else:
+                    # NULL doc, or the block's representative budget is
+                    # exhausted (uninformative hot block): self-cluster
+                    cluster, best_sim = row["conv_id"], 1.0
+                out_id.append(row["conv_id"])
+                out_cl.append(cluster)
+                out_sim.append(best_sim)
+        state.update((ids, docs))
+        if ttl > 0:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            {
+                "block_key": [str(key[0])] * len(out_id),
+                "conv_id": out_id,
+                "cluster_id": out_cl,
+                "sim": out_sim,
+            }
+        )
+
+    return blocked_stream.groupBy("block_key").applyInPandasWithState(
+        assign,
+        outputStructType=ASSIGN_SCHEMA,
+        stateStructType=_ASSIGN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
