@@ -384,7 +384,10 @@ class TestPipelineLifecycleAndRouting:
         for _ in range(2):  # repeated invocations must not accumulate
             with resolve_entities(transcripts, ResolveConfig(sim_threshold=0.88)):
                 pass
-        assert len(jsc.getRDDStorageInfo()) == before
+        # <=: Spark's async ContextCleaner may also retire entries from
+        # EARLIER tests between the two snapshots under the full suite;
+        # the property under test is no per-invocation ACCUMULATION
+        assert len(jsc.getRDDStorageInfo()) <= before
 
     def test_local_and_distributed_cc_agree(self, spark, transcripts):
         from triple_accel_spark.pipeline import ResolveConfig, resolve_entities

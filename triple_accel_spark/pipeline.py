@@ -75,15 +75,16 @@ class ResolveResult:
     clusters: DataFrame
     metrics: dict
 
-    def unpersist(self) -> None:
+    def unpersist(self, blocking: bool = True) -> None:
         """Release the caches backing the returned frames (``docs``,
         ``pairs_scored``, ``clusters``; ``matches`` is a filter over
         ``pairs_scored``). Call when done consuming the result —
         repeated ``resolve_entities`` invocations in one long-lived
-        driver otherwise accumulate executor storage. Also usable as a
-        context manager: ``with resolve_entities(t) as res: ...``."""
+        driver otherwise accumulate executor storage. Blocking by
+        default so storage is verifiably flat on return. Also usable as
+        a context manager: ``with resolve_entities(t) as res: ...``."""
         for df in (self.docs, self.pairs_scored, self.clusters):
-            df.unpersist()
+            df.unpersist(blocking=blocking)
 
     def __enter__(self) -> "ResolveResult":
         return self
