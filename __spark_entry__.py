@@ -140,6 +140,38 @@ _DUP_EDGES_SQL = f"""
 """
 
 
+# exact O(n^2) Hamming-<=3 edges over md5-gram simhashes recomputed
+# from scratch on the dup corpus; equals the banded simhash operator's
+# output because pigeonhole recall is structurally 1.0
+_SIMHASH_EDGES_SQL = f"""
+  WITH corpus AS ({_DUP_CORPUS_SQL}),
+  nt AS (
+    SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+    FROM corpus
+  ),
+  g AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))::BIGINT AS h
+    FROM nt JOIN range(1, 4096) r(i)
+      ON r.i <= greatest(length(t) - 3, 1)
+  ),
+  s AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
+    FROM g GROUP BY doc_id
+  ),
+  sh AS (
+    SELECT doc_id,
+           ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS v
+    FROM s
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.v, b.v)) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.v, b.v)) <= 3
+"""
+
+
 def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule-shaped transcript table derived DETERMINISTICALLY
     from the documents parquet (so DuckDB can rebuild the identical
@@ -544,6 +576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           jaccard_threshold=0.8)
         return kept.select("doc_id")
 
+    def dedup_near_simhash_docs(spark, sf_dir):
+        # the simhash-route dedup endpoint: bit-band edges (recall
+        # structurally 1.0) -> CC -> min-id representative; DuckDB
+        # replays edges + recursive-CTE clustering exactly
+        from triple_accel_spark.operators.dedup import dedup_near
+
+        kept = dedup_near(_dup_corpus(spark, sf_dir), "text", "doc_id",
+                          q=4, method="simhash", max_hamming=3,
+                          num_bands=4, gram_hash="md5")
+        return kept.select("doc_id")
+
     def simhash_docs(spark, sf_dir):
         # single-pass scale path (explode + one combinable aggregation);
         # fingerprints are bit-identical to the simhash64 Column form
@@ -914,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": minhash_lsh_dups,
         "simhash_near_dups": simhash_near_dups,
         "dedup_near_docs": dedup_near_docs,
+        "dedup_near_simhash_docs": dedup_near_simhash_docs,
         "simhash_docs": simhash_docs,
         "simhash_md5_docs": simhash_md5_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -1114,35 +1158,20 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN best USING (doc_id)
         """,
         "minhash_lsh_dups": _DUP_EDGES_SQL,
-        "simhash_near_dups": f"""
-            -- exact O(n^2) Hamming filter over simhashes recomputed
-            -- from scratch (shared md5 gram hash); equals the banded
-            -- operator's output because pigeonhole recall is 1.0
-            WITH corpus AS ({_DUP_CORPUS_SQL}),
-            nt AS (
-              SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-              FROM corpus
+        "simhash_near_dups": _SIMHASH_EDGES_SQL,
+        "dedup_near_simhash_docs": f"""
+            WITH RECURSIVE m AS ({_SIMHASH_EDGES_SQL}),
+            corpus AS ({_DUP_CORPUS_SQL}),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
             ),
-            g AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))::BIGINT AS h
-              FROM nt JOIN range(1, 4096) r(i)
-                ON r.i <= greatest(length(t) - 3, 1)
-            ),
-            s AS (
-              SELECT doc_id,
-                     {", ".join(f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
-              FROM g GROUP BY doc_id
-            ),
-            sh AS (
-              SELECT doc_id,
-                     ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS v
-              FROM s
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM corpus
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   bit_count(xor(a.v, b.v)) AS hamming
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.v, b.v)) <= 3
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
         """,
         "dedup_near_docs": f"""
             WITH RECURSIVE m AS ({_DUP_EDGES_SQL}),

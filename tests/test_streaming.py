@@ -165,6 +165,20 @@ def test_stream_assign_clusters_stateful(spark, tmp_path):
         assert got[(orig, bk)] == orig
         assert got[(r.conv_id, bk)] == orig
 
+    # cross-band consolidation: global labels use the component-min id,
+    # so every dup consolidates onto its original
+    from triple_accel_spark.streaming.incremental import consolidate_assignments
+
+    labels = {
+        r.id: r.cluster_id
+        for r in consolidate_assignments(
+            spark.sql("select * from assigned_stream")
+        ).collect()
+    }
+    for r in dups.collect():
+        assert labels[r.conv_id] == "c" + r.conv_id[1:]
+    assert len(labels) == expected
+
 
 def test_stream_match_against_static_index(spark, corpus, tmp_path):
     t, truth = corpus

@@ -235,17 +235,35 @@ def dedup_near(
     num_hashes: int = 32,
     num_bands: int = 8,
     jaccard_threshold: float = 0.7,
+    method: str = "minhash",
+    max_hamming: int = 3,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Keep one representative (min id) per NEAR-duplicate group: the
-    standard training-corpus dedup endpoint. Composition: MinHash-LSH
-    candidate pairs -> verified Jaccard edges -> connected components
-    -> keep each component's minimum id (deterministic, idempotent)."""
+    standard training-corpus dedup endpoint. Composition: near-dup
+    candidate pairs -> verified edges -> connected components -> keep
+    each component's minimum id (deterministic, idempotent).
+
+    ``method="minhash"`` (default) edges on verified q-gram Jaccard >=
+    ``jaccard_threshold``; ``method="simhash"`` edges on fingerprint
+    Hamming distance <= ``max_hamming`` via the bit-band route (cheaper
+    verification — one popcount per candidate, no gram re-join — at a
+    coarser notion of nearness; ``num_bands``/``gram_hash`` pass
+    through, recall guarantee per ``simhash_near_duplicates``)."""
     from triple_accel_spark.operators.clustering import connected_components
 
-    edges = minhash_lsh_duplicates(
-        df, text_col, id_col, q=q, num_hashes=num_hashes,
-        num_bands=num_bands, jaccard_threshold=jaccard_threshold,
-    )
+    if method == "simhash":
+        edges = simhash_near_duplicates(
+            df, text_col, id_col, q=q, max_hamming=max_hamming,
+            n_bands=num_bands, gram_hash=gram_hash,
+        )
+    elif method == "minhash":
+        edges = minhash_lsh_duplicates(
+            df, text_col, id_col, q=q, num_hashes=num_hashes,
+            num_bands=num_bands, jaccard_threshold=jaccard_threshold,
+        )
+    else:
+        raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
     # connected_components iterates with internal actions, so the edge
     # frame is fully materialized (and checkpointed away from its
     # lineage) by the time it returns — safe to release the caches

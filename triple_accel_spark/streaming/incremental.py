@@ -194,3 +194,27 @@ def stream_assign_clusters(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def consolidate_assignments(assigned: DataFrame) -> DataFrame:
+    """Batch post-pass over ``stream_assign_clusters`` output
+    (periodic, e.g. per checkpoint window): a doc assigned in several
+    bands may name different representatives; connected components over
+    the (doc, representative) edges merge them into one global
+    ``(id, cluster_id)`` labeling with the component-minimum id as the
+    label — the same convention as the batch pipeline, so streamed and
+    batch cluster ids are directly comparable."""
+    from triple_accel_spark.operators.clustering import connected_components
+
+    edges = (
+        assigned.select(
+            F.col("conv_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    all_ids = assigned.select(F.col("conv_id").alias("id")).distinct()
+    return all_ids.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
