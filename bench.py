@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -252,7 +254,10 @@ def main() -> None:
     scaling_entities = max(N_ENTITIES, 1500)
     spark.catalog.clearCache()
     sdocs = build_docs(spark, scaling_entities)
-    pairs_path = "/tmp/spark_graft_bench_pairs.parquet"
+    # unique per-run path: a fixed name would let concurrent benches
+    # clobber each other's shared frame mid-read
+    scratch = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    pairs_path = f"{scratch}/pairs.parquet"
     scoring_pairs(sdocs).repartition(64).write.mode("overwrite").parquet(pairs_path)
     spark.stop()
 
@@ -278,6 +283,7 @@ def main() -> None:
             "pairs_per_sec": round(np_ / best, 1),
         }
         s.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
     eff28 = (scaling["local[8]"]["pairs_per_sec"]
              / (4 * scaling["local[2]"]["pairs_per_sec"]))
     scaling["efficiency_2_to_8"] = round(eff28, 3)

@@ -42,6 +42,57 @@ def qgrams(col, q: int = 4) -> Column:
     ).otherwise(F.array(c))
 
 
+def exploded_gram_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: int,
+    gram_alias: str = "_g",
+    index_alias: str | None = None,
+) -> DataFrame:
+    """One row per q-gram start position of ``text_col``:
+    ``(id, gram [, index])`` — the corpus-scale gram shape shared by
+    the minhash / simhash / fingerprint operators (plain codegen
+    ``explode`` + ``substring``; no higher-order functions). Texts
+    shorter than ``q`` yield exactly one row — the whole text at index
+    0 — matching ``qgrams``'s short-text fallback, so Column-form and
+    exploded-form sketches stay bit-identical. Callers pre-project
+    ``(id_col, text_col)`` and pre-filter NULL text per their policy."""
+    n = F.length(text_col)
+    rows = df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
+        ).alias("_i"),
+        text_col,
+    )
+    cols = [id_col, F.expr(f"substring({text_col}, _i, {q})").alias(gram_alias)]
+    if index_alias is not None:
+        # int arithmetic keeps the index the same TYPE as the Column
+        # forms' sequence(0, size-1) elements — xxhash64 is type-aware
+        cols.append((F.col("_i") - F.lit(1)).alias(index_alias))
+    return rows.select(*cols)
+
+
+def gram_hash_expr(col: Column, gram_hash: str, salt: Column | None = None) -> Column:
+    """64-bit gram hash shared by the sketch operators. ``xxhash64`` is
+    the fast production default; ``md5`` (top 60 bits of the digest as
+    a bigint; ``salt`` concatenated as ``gram:salt``) exists because
+    DuckDB and Spark share md5 bit-for-bit, giving the sketch
+    ALGORITHMS a hard cross-engine oracle — xxhash64 has no DuckDB
+    twin. md5 mode is for verification, not production."""
+    if gram_hash == "md5":
+        payload = (
+            F.concat(col, F.lit(":"), salt.cast("string"))
+            if salt is not None
+            else col
+        )
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    if gram_hash != "xxhash64":
+        raise ValueError(f"gram_hash must be 'xxhash64' or 'md5', got {gram_hash!r}")
+    return F.xxhash64(col, salt) if salt is not None else F.xxhash64(col)
+
+
 def minhash_signature(grams: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: per seed, the minimum ``xxhash64(gram, seed)``
     over the shingle set (array<bigint>, length ``num_hashes``)."""
@@ -100,14 +151,7 @@ def minhash_band_table(
     base = df.select(F.col(id_col).alias("_mid"), norm.alias("_t")).where(
         F.col("_t").isNotNull()
     )
-    n = F.length("_t")
-    grams = base.select(
-        "_mid",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
-        ).alias("_i"),
-        "_t",
-    ).select("_mid", F.expr(f"substring(_t, _i, {q})").alias("_g"))
+    grams = exploded_gram_rows(base, "_mid", "_t", q)
     sig = grams.groupBy("_mid").agg(
         *[
             F.min(F.xxhash64("_g", F.lit(s))).alias(f"_h{s}")

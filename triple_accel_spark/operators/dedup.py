@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from triple_accel_spark.operators.blocking import normalized_text, qgrams
+from triple_accel_spark.operators.blocking import (
+    exploded_gram_rows,
+    gram_hash_expr,
+    normalized_text,
+    qgrams,
+)
 from triple_accel_spark.operators.pairs import candidate_pairs
 
 
@@ -133,14 +138,7 @@ def minhash_lsh_duplicates(
     base = df.select(F.col(id_col).alias("rid"), norm.alias("_t")).where(
         F.col("_t").isNotNull()
     )
-    n = F.length("_t")
-    gram_rows = base.select(
-        "rid",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
-        ).alias("_i"),
-        "_t",
-    ).select("rid", F.expr(f"substring(_t, _i, {q})").alias("_g"))
+    gram_rows = exploded_gram_rows(base, "rid", "_t", q)
     # distinct hashed gram set as ROWS (rid, gh): reused for set sizes
     # and for the intersection co-count; consumed 3x -> persist (handle
     # surfaced via _persisted_frames, see module docstring)
@@ -322,15 +320,8 @@ def simhash64(text_col, q: int = 4) -> Column:
     return out
 
 
-def _gram_hash_expr(col, gram_hash: str) -> Column:
-    """64-bit gram hash. ``xxhash64`` is the fast default; ``md5``
-    (top 60 bits of the digest as a bigint) exists because DuckDB and
-    Spark share md5 bit-for-bit, giving the sketch ALGORITHMS a hard
-    cross-engine oracle — xxhash64 has no DuckDB twin. md5 mode is for
-    verification, not production (cryptographic hash per gram)."""
-    if gram_hash == "md5":
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    return F.xxhash64(col)
+# shared home is blocking.gram_hash_expr; re-exported for callers
+_gram_hash_expr = gram_hash_expr
 
 
 def with_simhash(
@@ -363,16 +354,8 @@ def with_simhash(
     base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t")).where(
         F.col("_t").isNotNull()
     )
-    n = F.length("_t")
-    gram_rows = base.select(
-        "_sid",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
-        ).alias("_i"),
-        "_t",
-    ).select(
-        "_sid",
-        _gram_hash_expr(F.expr(f"substring(_t, _i, {q})"), gram_hash).alias("_h"),
+    gram_rows = exploded_gram_rows(base, "_sid", "_t", q).select(
+        "_sid", _gram_hash_expr(F.col("_g"), gram_hash).alias("_h")
     )
     sums = gram_rows.groupBy("_sid").agg(
         *[
@@ -521,8 +504,10 @@ def embedding_near_duplicates(
         payload_cols=("vec",),
         max_block_size=max_block_size,
     )
-    return (
+    out = (
         pairs.withColumn("cosine", _cosine("vec_a", "vec_b", vec_impl))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out._persisted_frames = getattr(pairs, "_persisted_frames", [])
+    return out

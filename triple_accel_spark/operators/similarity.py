@@ -301,14 +301,38 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    cand = None
-    for t in range(n_tables):
-        cb = c.withColumn("bucket", _bucket(c, F.col("cvec"), n_planes, seed + t, vec_impl))
-        qb = q.withColumn("bucket", _bucket(q, F.col("qvec"), n_planes, seed + t, vec_impl))
-        hit = cb.join(F.broadcast(qb), "bucket").select(
+    if vec_impl == "arrow":
+        # ALL tables' buckets from ONE stacked matmul per side (one
+        # dimension probe + one UDF each — per-table UDFs would run
+        # 2*n_tables eager probe jobs and n_tables Arrow evals)
+        cb = c.select(
+            id_col, "cvec",
+            F.posexplode(
+                multitable_buckets_arrow(c, F.col("cvec"), n_planes, n_tables, seed)
+            ).alias("_t", "_b"),
+        )
+        qb = q.select(
+            "query_id", "qvec",
+            F.posexplode(
+                multitable_buckets_arrow(q, F.col("qvec"), n_planes, n_tables, seed)
+            ).alias("_t", "_b"),
+        )
+        cand = cb.join(F.broadcast(qb), ["_t", "_b"]).select(
             "query_id", id_col, "qvec", "cvec"
         )
-        cand = hit if cand is None else cand.union(hit)
+    else:
+        cand = None
+        for t in range(n_tables):
+            cb = c.withColumn(
+                "bucket", hyperplane_bucket(F.col("cvec"), n_planes, seed + t)
+            )
+            qb = q.withColumn(
+                "bucket", hyperplane_bucket(F.col("qvec"), n_planes, seed + t)
+            )
+            hit = cb.join(F.broadcast(qb), "bucket").select(
+                "query_id", id_col, "qvec", "cvec"
+            )
+            cand = hit if cand is None else cand.union(hit)
     cand = cand.dropDuplicates(["query_id", id_col])
     scored = cand.withColumn("cosine", _cosine("qvec", "cvec", vec_impl))
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
@@ -332,6 +356,8 @@ def _centroid_matrix(
         .collect()
     )
     mat = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    if mat.size == 0:
+        return np.zeros((0, 0))
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
@@ -382,6 +408,16 @@ def ivf_topk(
     construction); recall at realistic settings is asserted in tests
     against ``brute_force_topk``."""
     cents = _centroid_matrix(corpus, vec_col, id_col, n_centroids)
+    if cents.size == 0:
+        # empty corpus: same contract as the other top-k operators —
+        # an empty result frame (id types follow the inputs), not a
+        # codebook-construction error
+        return (
+            queries.select(F.col(query_id_col).alias("query_id")).limit(0)
+            .crossJoin(corpus.select(F.col(id_col)).limit(0))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+        )
     nc1 = _nearest_centroids_udf(cents, 1)
     ncp = _nearest_centroids_udf(cents, n_probe)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")).withColumn(

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from triple_accel_spark.operators.blocking import qgrams
+from triple_accel_spark.operators.blocking import (
+    exploded_gram_rows,
+    gram_hash_expr,
+    qgrams,
+)
 
 _WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -111,18 +115,7 @@ def fingerprint64(text_col, q: int = 8, gram_hash: str = "xxhash64") -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = qgrams(c, q)
     idx = F.sequence(F.lit(0), F.size(grams) - 1)
-    if gram_hash == "md5":
-        salted = F.zip_with(
-            grams,
-            idx,
-            lambda g, i: F.conv(
-                F.substring(F.md5(F.concat(g, F.lit(":"), i.cast("string"))), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-        )
-    else:
-        salted = F.zip_with(grams, idx, lambda g, i: F.xxhash64(g, i))
+    salted = F.zip_with(grams, idx, lambda g, i: gram_hash_expr(g, gram_hash, i))
     return F.aggregate(
         salted, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
     )
@@ -155,35 +148,8 @@ def with_fingerprint(
     base = df.select(
         F.col(id_col).alias("_fid"), F.col(text_col).alias("_t")
     ).where(F.col("_t").isNotNull())
-    n = F.length("_t")
-    # one row per gram start; for n < q the single row (i=1) yields
-    # substring(_t, 1, q) = the whole text, matching qgrams' short-text
-    # fallback [text] at index 0
-    gram_rows = base.select(
-        "_fid",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(q - 1), F.lit(1)))
-        ).alias("_i"),
-        "_t",
-    ).select(
-        "_fid",
-        F.expr(f"substring(_t, _i, {q})").alias("_g"),
-        # int arithmetic keeps the salt the same TYPE as the Column
-        # form's sequence(0, size-1) elements — xxhash64 is type-aware
-        (F.col("_i") - F.lit(1)).alias("_idx"),
-    )
-    if gram_hash == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("_g"), F.lit(":"), F.col("_idx").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-    else:
-        h = F.xxhash64(F.col("_g"), F.col("_idx"))
+    gram_rows = exploded_gram_rows(base, "_fid", "_t", q, index_alias="_idx")
+    h = gram_hash_expr(F.col("_g"), gram_hash, salt=F.col("_idx"))
     return (
         gram_rows.select("_fid", h.alias("_h"))
         .groupBy("_fid")

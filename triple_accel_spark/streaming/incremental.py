@@ -150,8 +150,15 @@ def stream_assign_clusters(
         ids, docs = state.get if state.exists else ([], [])
         ids, docs = list(ids), list(docs)
         out_id, out_cl, out_sim = [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("conv_id").iterrows():
+        # concatenate the group's Arrow chunks BEFORE sorting: a block
+        # larger than one Arrow batch arrives as several DataFrames,
+        # and chunk-local sorts would leave arrival order dependent on
+        # upstream partitioning (group size is bounded by the blocking
+        # design + representative cap, so materializing is safe)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for _, row in allpdf.sort_values("conv_id").iterrows():
                 doc = row["doc"]
                 best_i, best_sim = -1, -1.0
                 if docs and doc is not None:
