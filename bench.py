@@ -159,7 +159,11 @@ def main() -> None:
     # star-contraction regressions at bench scale; labels are asserted
     # identical local-vs-distributed in tests)
     spark.catalog.clearCache()
-    sec, _ = timed_best2(lambda: er(cc_local_threshold=0))
+    # single timed run: q2b is a regression tracker for the distributed
+    # CC path, not a headline metric — q2 (best-of-2) carries the
+    # pipeline number, and a second full pipeline run here costs more
+    # bench wall time than the tracker is worth
+    sec, _ = timed(lambda: er(cc_local_threshold=0))
     queries["q2b_cc_distributed"] = round(sec, 3)
 
     progress("q3")
@@ -244,7 +248,7 @@ def main() -> None:
     # inside a 2-core session tripled the block's wall time.
     progress("scaling: materialize shared pair frame")
     global PAIR_FANOUT
-    PAIR_FANOUT = 400  # with the floored corpus below: ~1M pairs. Each
+    PAIR_FANOUT = 300  # with the floored corpus below: ~670k pairs. Each
     # point needs enough kernel work that fixed per-job/stage costs are
     # noise — a 254k-pair point finished in <4s on local[8] and
     # scheduling overhead capped the measured speedup; at sf<0.1 the
