@@ -637,6 +637,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", lang_id("text").alias("lang_pred")
         )
 
+    def lang_id_scaled_docs(spark, sf_dir):
+        # the single-pass scale shape (explode + combinable conditional
+        # counts; no interpreted HOFs) — same predictions, same oracle
+        from triple_accel_spark.operators.text import with_lang_id
+
+        return with_lang_id(_docs(spark, sf_dir), "text", "doc_id")
+
     def ann_topk(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         dbl = emb.select(
@@ -965,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": token_stats,
         "quality_scores": quality_scores,
         "lang_id_docs": lang_id_docs,
+        "lang_id_scaled_docs": lang_id_scaled_docs,
         "ann_topk": ann_topk,
         "ann_topk_arrow": ann_topk_arrow,
         "ann_lsh": ann_lsh,
@@ -1353,7 +1361,11 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
             FROM r
         """,
-        "lang_id_docs": f"""
+        # shared by the Column-form and single-pass lang-id queries —
+        # both must produce identical predictions
+        **dict.fromkeys(
+            ("lang_id_docs", "lang_id_scaled_docs"),
+            f"""
             WITH langs(lang, words) AS (VALUES {lang_rows}),
             hits AS (
               SELECT d.doc_id, l.lang,
@@ -1371,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
             FROM best
         """,
+        ),
         "ann_topk": """
             WITH dbl AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -99,6 +99,37 @@ class TestFingerprintSinglePass:
         assert "aggregate(" not in plan and "zip_with" not in plan
 
 
+class TestLangIdSinglePass:
+    def test_matches_column_form(self, spark):
+        from triple_accel_spark.operators.text import lang_id, with_lang_id
+
+        d = spark.read.parquet(DOCS)
+        col_form = d.select("doc_id", lang_id("text").alias("lp"))
+        single = with_lang_id(d, "text", "doc_id").withColumnRenamed(
+            "lang_pred", "lp2"
+        )
+        j = col_form.join(single, "doc_id")
+        assert j.count() == d.count()
+        assert j.where(F.col("lp") != F.col("lp2")).count() == 0
+
+    def test_null_and_empty_text_are_und(self, spark):
+        from triple_accel_spark.operators.text import with_lang_id
+
+        d = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "the of and to in is")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in with_lang_id(d).collect()}
+        assert got == {1: "und", 2: "und", 3: "en"}
+
+    def test_no_filter_lambda_in_plan(self, spark):
+        from triple_accel_spark.operators.text import with_lang_id
+
+        d = spark.read.parquet(DOCS)
+        plan = with_lang_id(d)._jdf.queryExecution().executedPlan().toString()
+        assert "lambdafunction" not in plan.lower()
+
+
 class TestPairDedupeShuffleWidth:
     def test_cross_band_dedupe_carries_ids_only(self, spark):
         # the cross-band pair dedupe must be an id-only distinct; the

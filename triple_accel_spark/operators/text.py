@@ -101,6 +101,59 @@ def lang_id(text_col) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def with_lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """``(id, lang_pred)`` — single-pass corpus-scale ``lang_id``.
+
+    Scale shape (same rewrite family as ``with_simhash``/
+    ``with_fingerprint``): explode the token stream once (codegen
+    ``split`` + ``explode``), then ONE map-side-combinable
+    ``groupBy(id)`` computing per-language stopword-hit counts as
+    conditional sums — the shuffle carries (id, one small int per
+    language) regardless of document size, and no higher-order
+    function appears in the plan (the ``lang_id`` Column form evaluates
+    one interpreted ``filter`` lambda per language per row). The
+    argmax-with-tiebreak is the same lexicographic struct max, so
+    predictions are identical to the Column form (asserted in tests).
+    Docs with no hits — including empty/NULL text — surface as
+    ``und`` via the left join back to the id frame."""
+    ids = df.select(F.col(id_col).alias("_lid"))
+    toks = df.select(
+        F.col(id_col).alias("_lid"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-zà-ÿ]+")
+        ).alias("_tok"),
+    )
+    counts = toks.groupBy("_lid").agg(
+        *[
+            F.count(F.when(F.col("_tok").isin(words), 1)).alias(f"_h_{lang}")
+            for lang, words in STOPWORDS.items()
+        ]
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.coalesce(F.col(f"_h_{lang}"), F.lit(0)).cast("int").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in STOPWORDS
+        ]
+    )
+    best = F.array_max(scores)
+    return (
+        ids.join(counts, "_lid", "left")
+        .select(
+            F.col("_lid").alias(id_col),
+            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+            .alias(out_col),
+        )
+    )
+
+
 def fingerprint64(text_col, q: int = 8, gram_hash: str = "xxhash64") -> Column:
     """Order-sensitive 64-bit document fingerprint: xor-fold of
     position-salted q-gram hashes (a rolling-hash-style content id that
