@@ -929,7 +929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a hard hash oracle over decoded PIXELS, not byte fakes
         from triple_accel_spark.operators.multimodal import decode_stats
 
-        d = _docs(spark, sf_dir)
+        # guard (both engines identically): the char->pixel construction
+        # needs printable-ASCII, newline-free text (regexp '(.)' skips
+        # line terminators; multi-byte chars break width=char-count vs
+        # the byte-length raster) and length < 4096 (the oracle's
+        # constant range join) — currently every synthetic doc passes,
+        # but the query must not silently break if corpus generation
+        # ever changes
+        d = _docs(spark, sf_dir).where(
+            F.col("text").rlike("^[ -~]*$") & (F.length("text") < 4096)
+        )
         tripled = F.regexp_replace("text", "(.)", "$1$1$1")
         ppm = F.concat(
             F.lit("P6\n"), F.length("text").cast("string"),
@@ -1488,10 +1497,16 @@ def oracle_sql() -> dict[str, str]:
             -- each char c becomes one (c,c,c) pixel, so the raster is
             -- 3*len bytes summing to 3*sum(ascii); the mean is one
             -- double division of exact integers in both engines
-            WITH s AS (
+            WITH d AS (
+              -- same printable-ASCII / newline-free / length guard as
+              -- the Spark query (the construction is only defined there)
+              SELECT doc_id, text FROM documents
+              WHERE regexp_full_match(text, '[ -~]*') AND length(text) < 4096
+            ),
+            s AS (
               SELECT doc_id, length(text) AS n,
                      sum(ascii(substr(text, i::INT, 1))) AS cs
-              FROM documents JOIN range(1, 4096) r(i)
+              FROM d JOIN range(1, 4096) r(i)
                 ON r.i <= length(text)
               GROUP BY doc_id, length(text)
             )

@@ -44,12 +44,17 @@ class TestDedupNullPolicy:
         assert sorted(groups[0].ids) == [1, 2]
         assert groups[0].n_copies == 2
 
-    def test_exact_duplicates_default_is_untruncated(self, spark):
+    def test_exact_duplicates_default_is_bounded(self, spark):
+        # the default caps the output id array (adversarial huge-group
+        # safety); n_copies stays exact so the cap is detectable, and
+        # max_ids=None opts into full membership
         df = spark.createDataFrame(
             [(i, "same text") for i in range(1500)], "doc_id long, text string"
         )
         g = exact_duplicates(df, "text", "doc_id").collect()[0]
-        assert g.n_copies == 1500 and len(g.ids) == 1500
+        assert g.n_copies == 1500 and len(g.ids) == 1000
+        full = exact_duplicates(df, "text", "doc_id", max_ids=None).collect()[0]
+        assert full.n_copies == 1500 and len(full.ids) == 1500
         capped = exact_duplicates(df, "text", "doc_id", max_ids=10).collect()[0]
         assert capped.n_copies == 1500 and len(capped.ids) == 10
 

@@ -307,7 +307,11 @@ def edit_with_traceback(
     reference's with_opts functions return the ``(cost, trace)`` tuple
     in one call, levenshtein.rs:714,1480 — separate ``edit_distance`` +
     ``edit_traceback`` columns would run the DP twice). Fields are NULL
-    where the distance exceeds ``k`` or an input is NULL."""
+    where the distance exceeds ``k`` or an input is NULL. Marked
+    nondeterministic like the sibling kernel UDFs: otherwise a filter
+    on the returned struct gets the UDF duplicated into the pushed-down
+    predicate AND the projection, running the trace DP twice — the
+    exact duplication this one-call form exists to avoid."""
 
     @pandas_udf(EDIT_TRACE_SCHEMA)
     def _udf(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
@@ -327,7 +331,7 @@ def edit_with_traceback(
                         ]
         return pd.DataFrame({"cost": cost_out, "trace": trace_out})
 
-    return _udf(a, b)
+    return _udf.asNondeterministic()(a, b)
 
 
 def edit_search(

@@ -43,18 +43,20 @@ from triple_accel_spark.operators.pairs import candidate_pairs
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_ids: int | None = None,
+    max_ids: int | None = 1000,
 ) -> DataFrame:
     """Groups of byte-identical documents: ``(digest, n_copies, ids)``.
 
-    One aggregation on a fixed-width digest. ``ids`` carries the full
-    group membership by default; passing ``max_ids`` truncates it to
-    that many OUTPUT entries (``n_copies`` stays exact, so consumers
-    can detect capped groups via ``n_copies > size(ids)``). Note the
-    collect_list aggregation buffer still sees every id of a group, so
-    for adversarial corpora (billions of byte-identical docs under one
-    digest) use ``dedup_exact`` (fully combinable min-per-digest, no
-    list materialization) and derive membership by joining the digest.
+    One aggregation on a fixed-width digest. ``ids`` is BOUNDED by
+    default (``max_ids=1000`` output entries; ``n_copies`` stays exact,
+    so consumers detect capped groups via ``n_copies > size(ids)``) —
+    an unbounded default hands adversarial corpora (billions of
+    byte-identical boilerplate copies under one digest) an arbitrarily
+    large output array. Pass ``max_ids=None`` for full membership on
+    corpora known to be benign. Note the collect_list aggregation
+    buffer still sees every id of a group either way, so at adversarial
+    scale use ``dedup_exact`` (fully combinable min-per-digest, no list
+    materialization) and derive membership by joining the digest.
     NULL policy: NULL-text rows have no content digest and are excluded
     (a NULL document is not a duplicate of anything, including other
     NULL documents — matching the blocking NULL policy)."""
@@ -481,6 +483,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     max_block_size: int | None = 20000,
     vec_impl: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
@@ -493,9 +496,11 @@ def embedding_near_duplicates(
     form (see ``operators.similarity``)."""
     from triple_accel_spark.operators.similarity import _bucket, _cosine
 
-    base = df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("vec")
+    )
     base = base.withColumn(
-        "block_key", _bucket(base, F.col("vec"), n_planes, seed, vec_impl)
+        "block_key", _bucket(base, F.col("vec"), n_planes, seed, vec_impl, dim=dim)
     )
     pairs = candidate_pairs(
         base,

@@ -80,9 +80,16 @@ def pairwise_f1(
     true, FP = predicted only, FN = true only."""
     pred = predicted.select(id_a, id_b).distinct().cache()
     truth = truth_positive.select(id_a, id_b).distinct().cache()
-    tp = pred.join(truth, [id_a, id_b]).count()
-    fp = pred.count() - tp
-    fn = truth.count() - tp
+    try:
+        tp = pred.join(truth, [id_a, id_b]).count()
+        fp = pred.count() - tp
+        fn = truth.count() - tp
+    finally:
+        # the caches exist only to keep the three counts consistent and
+        # single-evaluation; release them before returning so repeated
+        # F1 evaluation in a long-lived driver stays storage-flat
+        pred.unpersist()
+        truth.unpersist()
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0

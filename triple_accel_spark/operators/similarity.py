@@ -102,28 +102,52 @@ def cosine_expr(a, b) -> Column:
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _to_matrix(v: pd.Series, dim: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Stack an Arrow list column into a dense ``(rows, dim)`` float64
+    matrix plus a validity mask. A row is valid iff it is non-NULL and
+    has the expected length (``dim``, or the batch's first non-NULL
+    length when not given); invalid rows stack as zeros and are masked.
+    This is what keeps one NULL or ragged embedding row from crashing a
+    whole-corpus Arrow batch (``np.array(list(v))`` on mixed lengths
+    builds an object array and the einsum throws)."""
+    rows = [None if r is None else np.asarray(r, dtype=np.float64) for r in v]
+    if dim is None:
+        dim = next((int(r.size) for r in rows if r is not None), 0)
+    ok = np.fromiter(
+        (r is not None and r.size == dim for r in rows), dtype=bool, count=len(rows)
+    )
+    mat = np.zeros((len(rows), dim), dtype=np.float64)
+    for i in np.flatnonzero(ok):
+        mat[i] = rows[i]
+    return mat, ok
+
+
 def cosine_arrow(a, b) -> Column:
     """Arrow-batched exact cosine: one einsum per Arrow batch over the
     stacked ``(rows, dim)`` float64 matrices instead of three
     interpreted per-element array folds per row. Marked
     nondeterministic so Catalyst never duplicates the UDF into a
     pushed-down filter AND the projection (one ArrowEvalPython node;
-    same documented trade as ``scoring.score_pairs``). Requires
-    non-null, equal-length vectors (the embedding-table contract)."""
+    same documented trade as ``scoring.score_pairs``). NULL or
+    ragged-length vectors score 0.0 — the same result the Column form
+    produces when its NULL-propagating fold reaches the ``otherwise``
+    branch — so a dirty row degrades to "no similarity" instead of
+    failing the batch."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = np.array(list(va), dtype=np.float64)
-        mb = np.array(list(vb), dtype=np.float64)
-        if ma.size == 0:
+        ma, oka = _to_matrix(va)
+        mb, okb = _to_matrix(vb, ma.shape[1] if ma.shape[1] else None)
+        if ma.shape[1] != mb.shape[1] or ma.shape[1] == 0:
             return pd.Series(np.zeros(len(va)))
         dot = np.einsum("ij,ij->i", ma, mb)
         denom = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
             np.einsum("ij,ij->i", mb, mb)
         )
-        out = np.divide(dot, denom, out=np.zeros_like(dot), where=denom > 0)
+        ok = oka & okb & (denom > 0)
+        out = np.divide(dot, denom, out=np.zeros_like(dot), where=ok)
         return pd.Series(out)
 
     return _cos.asNondeterministic()(a, b)
@@ -153,49 +177,69 @@ def plane_matrix(spark, n_planes: int, dim: int, seed: int) -> np.ndarray:
     return m
 
 
+def _probe_dim(df: DataFrame, vec: Column) -> int | None:
+    """Vector dimensionality from one single-row driver job. Used only
+    when the caller did not pass ``dim`` explicitly — the probe
+    re-evaluates the upstream plan eagerly at Column-construction time
+    (and is unusable on streaming DataFrames), so callers that know the
+    dimensionality should pass it."""
+    first = df.select(F.size(vec).alias("d")).first()
+    return None if first is None or first["d"] is None else int(first["d"])
+
+
 def hyperplane_bucket_arrow(
-    df: DataFrame, vec: Column, n_planes: int = 12, seed: int = 42
+    df: DataFrame, vec: Column, n_planes: int = 12, seed: int = 42,
+    dim: int | None = None,
 ) -> Column:
     """Arrow-batched sign-LSH bucket: ONE ``mat @ planes.T`` per Arrow
     batch replaces ``n_planes`` interpreted array folds per row. The
     plane matrix is materialized once via ``plane_matrix`` (identical
     hash-derived components as the Column form; exact bucket equality
-    is asserted in tests). ``df`` supplies the session and the vector
-    dimensionality (one single-row job)."""
-    first = df.select(F.size(vec).alias("d")).first()
-    if first is None or first["d"] is None:
+    is asserted in tests). Pass ``dim`` to skip the eager one-row
+    dimension probe (see ``_probe_dim``). NULL / ragged-length vectors
+    get a NULL bucket, which never equi-joins — the row silently drops
+    out of candidate generation instead of failing the batch."""
+    if dim is None:
+        dim = _probe_dim(df, vec)
+    if dim is None:
         # empty input / null vectors: fall back to the Column form (no
         # dimension to build a matrix from; result set is empty anyway)
         return hyperplane_bucket(vec, n_planes, seed)
-    planes = plane_matrix(df.sparkSession, n_planes, int(first["d"]), seed)
+    planes = plane_matrix(df.sparkSession, n_planes, dim, seed)
 
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        mat = np.array(list(v), dtype=np.float64)
-        if mat.size == 0:
-            return pd.Series(np.zeros(len(v), dtype=np.int64))
+        mat, ok = _to_matrix(v, planes.shape[1])
+        if mat.shape[0] == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
         bits = (mat @ planes.T) >= 0  # (rows, n_planes)
         out = np.zeros(mat.shape[0], dtype=np.int64)
         for p in range(planes.shape[0]):
             out |= bits[:, p].astype(np.int64) << p
-        return pd.Series(out)
+        res = pd.Series(pd.array(out, dtype="Int64"))
+        res[~ok] = pd.NA
+        return res
 
     return _bucket.asNondeterministic()(vec)
 
 
 def multitable_buckets_arrow(
-    df: DataFrame, vec: Column, n_planes: int, n_tables: int, seed: int
+    df: DataFrame, vec: Column, n_planes: int, n_tables: int, seed: int,
+    dim: int | None = None,
 ) -> Column:
     """``array<long>`` of per-table sign-LSH buckets (table t's planes
     are seeded ``seed + t``, matching the Column form), computed with a
     single stacked matmul per Arrow batch instead of
-    ``n_tables * n_planes`` interpreted folds per row."""
-    first = df.select(F.size(vec).alias("d")).first()
-    if first is None or first["d"] is None:
+    ``n_tables * n_planes`` interpreted folds per row. Pass ``dim`` to
+    skip the eager one-row dimension probe. NULL / ragged rows yield a
+    NULL array — ``explode``/``posexplode`` emit nothing for NULL, so
+    the row drops out of every table instead of failing the batch."""
+    if dim is None:
+        dim = _probe_dim(df, vec)
+    if dim is None:
         return F.array(
             *[hyperplane_bucket(vec, n_planes, seed + t) for t in range(n_tables)]
         )
-    dim = int(first["d"])
     spark = df.sparkSession
     planes_all = np.vstack(
         [plane_matrix(spark, n_planes, dim, seed + t) for t in range(n_tables)]
@@ -203,15 +247,17 @@ def multitable_buckets_arrow(
 
     @pandas_udf("array<long>")
     def _mb(v: pd.Series) -> pd.Series:
-        mat = np.array(list(v), dtype=np.float64)
-        if mat.size == 0:
-            return pd.Series([[0] * n_tables] * len(v))
+        mat, ok = _to_matrix(v, planes_all.shape[1])
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype=object)
         bits = ((mat @ planes_all.T) >= 0).astype(np.int64)  # (rows, T*P)
         out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
         for t in range(n_tables):
             for p in range(n_planes):
                 out[:, t] |= bits[:, t * n_planes + p] << p
-        return pd.Series(list(out))
+        return pd.Series(
+            [out[i] if ok[i] else None for i in range(mat.shape[0])]
+        )
 
     return _mb.asNondeterministic()(vec)
 
@@ -224,9 +270,12 @@ def _cosine(a, b, vec_impl: str) -> Column:
     raise ValueError(f"vec_impl must be 'arrow' or 'expr', got {vec_impl!r}")
 
 
-def _bucket(df, vec: Column, n_planes: int, seed: int, vec_impl: str) -> Column:
+def _bucket(
+    df, vec: Column, n_planes: int, seed: int, vec_impl: str,
+    dim: int | None = None,
+) -> Column:
     if vec_impl == "arrow":
-        return hyperplane_bucket_arrow(df, vec, n_planes, seed)
+        return hyperplane_bucket_arrow(df, vec, n_planes, seed, dim=dim)
     if vec_impl == "expr":
         return hyperplane_bucket(vec, n_planes, seed)
     raise ValueError(f"vec_impl must be 'arrow' or 'expr', got {vec_impl!r}")
@@ -267,11 +316,15 @@ def brute_force_topk(
 
     The query side is broadcast — the corpus is never shuffled, so this
     scales to arbitrary corpus size as long as the query set is small
-    (the usual ANN-baseline shape)."""
-    q = queries.select(
+    (the usual ANN-baseline shape). NULL-embedding rows are filtered on
+    both sides (a row with no vector has no neighbors; the predicate is
+    Catalyst-pushed to the scan)."""
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).alias("cvec")
+    )
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine", _cosine("qvec", "cvec", vec_impl)
     )
@@ -291,14 +344,19 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     vec_impl: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
     Each of ``n_tables`` independent sign-LSH tables buckets corpus and
     queries; candidates are the union of same-bucket collisions, then
-    exact cosine + rank. Recall grows as ``1-(1-p^planes)^tables``."""
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
-    q = queries.select(
+    exact cosine + rank. Recall grows as ``1-(1-p^planes)^tables``.
+    NULL-embedding rows are filtered on both sides; pass ``dim`` to
+    skip the eager dimension probe."""
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).alias("cvec")
+    )
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     if vec_impl == "arrow":
@@ -308,13 +366,17 @@ def lsh_topk(
         cb = c.select(
             id_col, "cvec",
             F.posexplode(
-                multitable_buckets_arrow(c, F.col("cvec"), n_planes, n_tables, seed)
+                multitable_buckets_arrow(
+                    c, F.col("cvec"), n_planes, n_tables, seed, dim=dim
+                )
             ).alias("_t", "_b"),
         )
         qb = q.select(
             "query_id", "qvec",
             F.posexplode(
-                multitable_buckets_arrow(q, F.col("qvec"), n_planes, n_tables, seed)
+                multitable_buckets_arrow(
+                    q, F.col("qvec"), n_planes, n_tables, seed, dim=dim
+                )
             ).alias("_t", "_b"),
         )
         cand = cb.join(F.broadcast(qb), ["_t", "_b"]).select(
@@ -369,9 +431,9 @@ def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
 
     @pandas_udf("array<int>")
     def _nc(v: pd.Series) -> pd.Series:
-        mat = np.array(list(v), dtype=np.float64)
-        if mat.size == 0:
-            return pd.Series([[]] * len(v))
+        mat, ok = _to_matrix(v, centroids.shape[1])
+        if mat.shape[0] == 0:
+            return pd.Series([], dtype=object)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ centroids.T  # (rows, C)
@@ -380,7 +442,9 @@ def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
         idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
         order = np.take_along_axis(sims, idx, 1).argsort(axis=1)[:, ::-1]
         top = np.take_along_axis(idx, order, 1).astype(np.int32)
-        return pd.Series(list(top))
+        # NULL / ragged rows: NULL probe list (explode emits nothing,
+        # the NULL cid never equi-joins) instead of a batch crash
+        return pd.Series([top[i] if ok[i] else None for i in range(mat.shape[0])])
 
     return _nc.asNondeterministic()
 
@@ -407,6 +471,8 @@ def ivf_topk(
     the result EQUALS the exact brute-force top-k (the driver-oracle
     construction); recall at realistic settings is asserted in tests
     against ``brute_force_topk``."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cents = _centroid_matrix(corpus, vec_col, id_col, n_centroids)
     if cents.size == 0:
         # empty corpus: same contract as the other top-k operators —
@@ -448,6 +514,7 @@ def brute_force_all_pairs_topk(
     similarity (validation, small corpora, and recall measurement for
     ``lsh_all_pairs_topk``). Not a 100 TB plan by design; the scale
     path is the bucketed variant below."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     a = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     b = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
     scored = (
@@ -469,6 +536,7 @@ def lsh_all_pairs_topk(
     seed: int = 42,
     max_block_size: int | None = 100_000,
     vec_impl: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate corpus x corpus top-k (no broadcastable query side):
     the large-query-set ANN scale path.
@@ -484,13 +552,17 @@ def lsh_all_pairs_topk(
     on the testdata embeddings."""
     from triple_accel_spark.operators.pairs import candidate_pairs
 
-    base = corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    base = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("vec")
+    )
     if vec_impl == "arrow":
         # ALL tables' sign buckets from ONE (rows, dim) @ (dim, T*P)
         # matmul per Arrow batch; table keys are then mixed JVM-side
         # with the same xxhash64(table, bucket) layout as the Column
         # form (posexplode's pos == the table index, same int type)
-        buckets = multitable_buckets_arrow(base, F.col("vec"), n_planes, n_tables, seed)
+        buckets = multitable_buckets_arrow(
+            base, F.col("vec"), n_planes, n_tables, seed, dim=dim
+        )
         blocked = base.select(
             "rid", "vec", F.posexplode(buckets).alias("_t", "_b")
         ).select(
