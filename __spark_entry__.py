@@ -443,6 +443,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("cost"),
         )
 
+    def edit_costs_natural(spark, sf_dir):
+        # the generalized affine-cost kernel on NATURAL pairs with a
+        # hard DuckDB oracle: the full Gotoh DP (open = start_gap+gap,
+        # extend = gap) is replayed in SQL as a recursive CTE over DP
+        # rows carried as lists — the in-row gap recurrence uses the
+        # same prefix-min identity as the kernel (banded.py:19-23), so
+        # arbitrary EditCosts on real text are hash-verified, not just
+        # the planted constructions. 30-char prefixes bound the SQL DP
+        # (31 iterations x O(lb^2) list ops per pair).
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        costs = EditCosts(mismatch_cost=3, gap_cost=2, start_gap_cost=1)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance(
+                F.substring("text_a", 1, 30), F.substring("text_b", 1, 30),
+                k=None, costs=costs,
+            ).cast("long").alias("cost"),
+        )
+
     def edit_costs_affine_planted(spark, sf_dir):
         # affine-gap path with a DuckDB oracle: delete a single block
         # of L = doc_id % 3 + 1 chars at position 11 — for long
@@ -951,6 +970,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return decode_stats(media)
 
+    def media_feature_ppm(spark, sf_dir):
+        # decode -> FEATURE end to end (media_decode_ppm covers decode
+        # -> stats): the same synthesized PPM payloads run through
+        # extract_features with the real decoder, emitting the folded
+        # intensity histogram of the DECODED pixels as unnormalized
+        # integer counts (exact in float32, so DuckDB recomputing the
+        # bincount from the source chars hash-matches bit-for-bit;
+        # each char becomes one (c,c,c) pixel => count = 3x the char
+        # residue count). Rows are (media_id, idx, val) via posexplode
+        # — the driver compare hashes scalars, not arrays.
+        from triple_accel_spark.operators.multimodal import (
+            extract_features,
+            image_feature_real,
+        )
+
+        d = _docs(spark, sf_dir).where(
+            F.col("text").rlike("^[ -~]*$") & (F.length("text") < 4096)
+        )
+        tripled = F.regexp_replace("text", "(.)", "$1$1$1")
+        ppm = F.concat(
+            F.lit("P6\n"), F.length("text").cast("string"),
+            F.lit(" 1\n255\n"), tripled,
+        )
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(ppm, "utf-8").alias("content"),
+        )
+        feats = extract_features(
+            media, decoder=lambda b: image_feature_real(b, normalize=False)
+        )
+        return feats.select(
+            "media_id", F.posexplode(F.col("feature")).alias("idx", "val")
+        ).select(
+            "media_id", F.col("idx").cast("long").alias("idx"),
+            F.col("val").cast("double").alias("val"),
+        )
+
     return {
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
@@ -963,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdamerau_planted": rdamerau_planted,
         "rdamerau_swapped_planted": rdamerau_swapped_planted,
         "edit_costs_adjacent": edit_costs_adjacent,
+        "edit_costs_natural": edit_costs_natural,
         "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
@@ -999,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "media_features_docs": media_features_docs,
         "media_decode_ppm": media_decode_ppm,
+        "media_feature_ppm": media_feature_ppm,
     }
 
 
@@ -1060,6 +1119,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN 2 * levenshtein(a.text, b.text) <= 80
                         THEN 2 * levenshtein(a.text, b.text) END AS dist2
             {_ADJ_SQL}
+        """,
+        "edit_costs_natural": f"""
+            -- full Gotoh affine-gap DP (mismatch=3, gap=2, start_gap=1;
+            -- open = start_gap + gap) replayed as a recursive CTE: each
+            -- iteration i computes DP row i from row i-1 carried as
+            -- lists. The within-row gap recurrence (a horizontal move
+            -- depends on cells of the SAME row) uses the prefix-min
+            -- identity A[j] = open + gap*j + min_(j'<j)(T[j'] - gap*j')
+            -- — valid because reopening inside a gap never beats
+            -- extending (start_gap >= 0) — i.e. the same algebra as the
+            -- NumPy kernel's np.minimum.accumulate (banded.py:19-23)
+            WITH RECURSIVE base AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     substr(a.text, 1, 30) AS sa, substr(b.text, 1, 30) AS sb,
+                     length(substr(a.text, 1, 30)) AS la,
+                     length(substr(b.text, 1, 30)) AS lb
+              {_ADJ_SQL}
+            ),
+            dp(id_a, id_b, sa, sb, la, lb, i, dpr, bgr) AS (
+              SELECT id_a, id_b, sa, sb, la, lb, 0,
+                     list_transform(range(0, lb + 1),
+                       j -> CASE WHEN j = 0 THEN 0 ELSE 1 + 2*j END),
+                     list_transform(range(0, lb + 1), j -> 1000000000)
+              FROM base
+              UNION ALL
+              SELECT id_a, id_b, sa, sb, la, lb, i + 1,
+                     list_transform(range(1, lb + 2), p -> least(tc[p::INT],
+                       CASE WHEN p = 1 THEN 1000000000
+                            ELSE 1 + 2*(p-1) + list_min(list_transform(
+                                   range(1, p), q -> tc[q::INT] - 2*(q-1)))
+                       END)),
+                     nbg
+              FROM (
+                SELECT id_a, id_b, sa, sb, la, lb, i, nbg,
+                       list_transform(range(1, lb + 2), p ->
+                         CASE WHEN p = 1 THEN nbg[1]
+                              ELSE least(dpr[(p-1)::INT]
+                                           + CASE WHEN substr(sb, (p-1)::INT, 1) = pc
+                                                  THEN 0 ELSE 3 END,
+                                         nbg[p::INT])
+                         END) AS tc
+                FROM (
+                  SELECT id_a, id_b, sa, sb, la, lb, i, dpr,
+                         substr(sa, (i + 1)::INT, 1) AS pc,
+                         list_transform(range(1, lb + 2),
+                           p -> least(dpr[p::INT] + 3, bgr[p::INT] + 2)) AS nbg
+                  FROM dp WHERE i < la
+                )
+              )
+            )
+            SELECT id_a, id_b, dpr[(lb + 1)::INT] AS cost FROM dp WHERE i = la
         """,
         "edit_costs_affine_planted": """
             SELECT doc_id,
@@ -1515,6 +1625,27 @@ def oracle_sql() -> dict[str, str]:
                    3 * n AS n_px,
                    (3 * cs)::DOUBLE / (3 * n)::DOUBLE AS mean_px
             FROM s
+        """,
+        "media_feature_ppm": """
+            -- decoded-pixel folded histogram recomputed from the source
+            -- chars: char c -> one (c,c,c) pixel, so feature[k] =
+            -- 3 * |{chars with ascii % 16 = k}| exactly (integer counts
+            -- are exact in float32, so the cast chain matches)
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE regexp_full_match(text, '[ -~]*') AND length(text) < 4096
+            ),
+            ch AS (
+              SELECT doc_id, ascii(substr(text, i::INT, 1)) % 16 AS r
+              FROM d JOIN range(1, 4096) t(i) ON t.i <= length(text)
+            ),
+            h AS (
+              SELECT doc_id, r, 3 * count(*) AS c FROM ch GROUP BY doc_id, r
+            )
+            SELECT d.doc_id AS media_id, k.k::BIGINT AS idx,
+                   coalesce(h.c, 0)::DOUBLE AS val
+            FROM d CROSS JOIN range(0, 16) k(k)
+            LEFT JOIN h ON h.doc_id = d.doc_id AND h.r = k.k
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

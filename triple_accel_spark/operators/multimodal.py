@@ -95,12 +95,24 @@ def decode_image_real(content: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
 
 
-def image_feature_real(content: bytes, dim: int = 16) -> np.ndarray:
-    """Real image feature: per-channel-folded mean-intensity histogram
-    of the decoded pixels, unit-norm (same contract as
-    ``fake_feature``: deterministic float32[dim])."""
+def image_feature_real(
+    content: bytes, dim: int = 16, normalize: bool = True
+) -> np.ndarray:
+    """Real image feature: per-channel-folded intensity histogram of
+    the DECODED pixels, unit-norm by default (same contract as
+    ``fake_feature``: deterministic float32[dim]).
+
+    ``normalize=False`` returns the raw integer counts (exact in
+    float32 — counts are far below 2^24), which is what lets the
+    decode->feature path be hash-oracled bit-for-bit in SQL: the
+    normalized form divides by a float32 sqrt that a double-precision
+    SQL engine cannot reproduce bit-identically, while integer counts
+    compare exactly (see the ``media_feature_ppm`` driver query; the
+    normalized==counts/norm identity is pytest-asserted)."""
     px = decode_image_real(content).reshape(-1)
     hist = np.bincount(px.astype(np.int64) % dim, minlength=dim).astype(np.float32)
+    if not normalize:
+        return hist
     n = np.linalg.norm(hist)
     return hist / n if n else hist
 
