@@ -5,10 +5,28 @@ Headline metric (BASELINE.json): candidate-pairs-scored/sec — the
 Arrow-batched Myers/banded kernel scoring stage over documents
 assembled from the deterministic synthetic transcript corpus.
 
-Every run measures N->4N scaling in-run (the scoring stage at local[2]
-vs local[8] on identical input — the sandbox stand-in for N vs 4N
-executors; see BASELINE.md for methodology). SPARK_GRAFT_SCALING=1
-adds the local[32] point (single-socket LLC/DRAM ceiling).
+Measurement design (round-4 verdict):
+- Timed regions contain ONLY the operator under test. Corpus synthesis
+  (driver pandas + createDataFrame) is materialized to scratch parquet
+  BEFORE the clock starts — q2 previously timed generation + pickling
+  + the pipeline, and host noise on the serial part dominated the
+  round-over-round swings.
+- Every run measures N->4N scaling in-run (the scoring stage at
+  local[2] vs local[8] on identical input — the sandbox stand-in for N
+  vs 4N executors; BASELINE.md has the methodology + multiprocessing
+  control). Each point is MEDIAN-of-3 with per-run spread recorded,
+  and the 2->8 ratio is self-validating: outside [0.7, 1.05] the pair
+  is re-measured once; still outside -> flagged "contended" (a
+  superlinear ratio is impossible as a software property; it means the
+  host interfered). SPARK_GRAFT_SCALING=1 adds the local[32] point
+  (single-socket LLC/DRAM ceiling).
+- A 10x scale point (SPARK_GRAFT_SF1=0 to skip): scoring stage, LSH
+  dedup, and distributed-CC pipeline once on a 15k-entity corpus, with
+  sf0.1->sf1 growth factors — fixed costs dominate sub-second queries,
+  so "survives 100x?" needs at least one order of magnitude in-run.
+- ANN recall@k vs the exact baseline for the LSH, IVF and all-pairs
+  configurations ships in the artifact (approximate operators without
+  recorded recall are unfalsifiable).
 """
 
 from __future__ import annotations
@@ -16,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,7 +46,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from triple_accel_spark.operators.assemble import assemble_documents  # noqa: E402
 from triple_accel_spark.operators.dedup import minhash_lsh_duplicates  # noqa: E402
 from triple_accel_spark.operators.scoring import score_pairs  # noqa: E402
-from triple_accel_spark.operators.similarity import brute_force_topk  # noqa: E402
 from triple_accel_spark.session import get_spark  # noqa: E402
 from triple_accel_spark.sources.transcripts import generate_transcripts  # noqa: E402
 
@@ -41,6 +59,7 @@ N_ENTITIES = max(100, int(15000 * SF))
 # ~2s measurement was dominated by fixed job overhead and swung +-25%
 # run to run; the metric is steady-state pairs/sec
 PAIR_FANOUT = 60
+SF1_ENTITIES = 15000  # the 10x point (sf1-equivalent corpus)
 
 
 def progress(msg: str) -> None:
@@ -71,11 +90,12 @@ def build_docs(spark, n_entities: int | None = None):
     return docs
 
 
-def scoring_pairs(docs):
+def scoring_pairs(docs, fanout: int = None):
     """Dense deterministic candidate-pair frame: every doc vs the next
-    PAIR_FANOUT docs in id order (bounded fanout, shuffle-balanced)."""
+    ``fanout`` docs in id order (bounded fanout, shuffle-balanced)."""
     from pyspark.sql.window import Window
 
+    fanout = fanout or PAIR_FANOUT
     d = docs.select(
         F.row_number().over(Window.orderBy("conv_id")).alias("seq"),
         "conv_id", "doc",
@@ -86,12 +106,20 @@ def scoring_pairs(docs):
                  F.col("doc").alias("doc_b"))
     j = a.join(
         b,
-        (F.col("sb") > F.col("sa")) & (F.col("sb") <= F.col("sa") + PAIR_FANOUT),
+        (F.col("sb") > F.col("sa")) & (F.col("sb") <= F.col("sa") + fanout),
     )
     return j.select("id_a", "id_b", "doc_a", "doc_b")
 
 
-def run_scoring_stage(spark, docs, k, pairs_df=None):
+def run_scoring_stage(spark, docs, k, pairs_df=None, runs: int = 2,
+                      agg: str = "min"):
+    """Time the scoring stage over a materialized pair frame.
+
+    Returns ``(n_pairs, n_scored, stat_sec, all_secs)`` where stat is
+    min (best-of-N, steady-state metric for the headline) or median
+    (scaling points — a median is robust to one noisy run in EITHER
+    direction, where best-of-N only guards against slow outliers and
+    can ship an impossibly-fast one)."""
     # the generator uses a global row_number (one partition); spread the
     # materialized pair frame across the cluster before timing so the
     # measurement is the scoring stage, not a single-task bottleneck
@@ -103,21 +131,62 @@ def run_scoring_stage(spark, docs, k, pairs_df=None):
     # warm the Python worker pool (fork + numpy/pandas import happens
     # once per worker; steady-state throughput is the metric)
     score_pairs(pairs.limit(200), "doc_a", "doc_b", k=k).count()
-    best, n_scored = None, 0
-    for _ in range(2):  # best-of-2: JVM/GC noise, not warmup, is the enemy
+    secs, n_scored = [], 0
+    for _ in range(runs):
         sec, n_scored = timed(
             lambda: score_pairs(pairs, "doc_a", "doc_b", k=k,
                                 sim_threshold=None).count()
         )
-        best = sec if best is None else min(best, sec)
+        secs.append(sec)
     pairs.unpersist()
-    return n_pairs, n_scored, best
+    stat = min(secs) if agg == "min" else statistics.median(secs)
+    return n_pairs, n_scored, stat, secs
+
+
+def materialize_transcripts(spark, path: str, n_entities: int) -> None:
+    """Corpus synthesis OUT of every timed region: driver-pandas
+    generation + createDataFrame + one parquet write, done once; timed
+    pipeline runs scan this parquet (the pipeline's real input shape)."""
+    tdf, _ = generate_transcripts(n_entities=n_entities, seed=42)
+    spark.createDataFrame(tdf).repartition(CPUS).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def er_from_parquet(spark, path: str, **cfg_kw) -> int:
+    from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+
+    t = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    with resolve_entities(t, ResolveConfig(sim_threshold=0.88, **cfg_kw)) as res:
+        return res.clusters.count()
+
+
+def measure_scaling_point(n: int, k, pairs_path: str):
+    """One scaling point: fresh local[n] session, identical input and
+    partition/Arrow-batch geometry per core (16m scan splits, 2x-cores
+    repartition — see BASELINE.md), median-of-3."""
+    s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
+                  shuffle_partitions=n,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
+    np_, _, med, secs = run_scoring_stage(
+        s, None, k, pairs_df=s.read.parquet(pairs_path).repartition(n * 2),
+        runs=3, agg="median",
+    )
+    s.stop()
+    return {
+        "pairs": np_, "sec": round(med, 3),
+        "pairs_per_sec": round(np_ / med, 1),
+        "runs_sec": [round(x, 3) for x in secs],
+    }
 
 
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     queries: dict[str, float] = {}
     extra: dict = {"sf": SF, "cpus": CPUS, "n_entities": N_ENTITIES}
+    scratch = tempfile.mkdtemp(prefix="spark_graft_bench_")
 
     progress("build_docs")
     docs = build_docs(spark)
@@ -128,27 +197,23 @@ def main() -> None:
 
     progress("q1")
     # q1: headline — bulk pair scoring (Myers bit-parallel kernel)
-    n_pairs, _, sec = run_scoring_stage(spark, docs, k)
+    n_pairs, _, sec, _ = run_scoring_stage(spark, docs, k)
     queries["q1_pair_scoring"] = round(sec, 3)
     pairs_per_sec = n_pairs / sec if sec > 0 else 0.0
     extra["pairs_scored"] = n_pairs
     extra["pairs_per_sec"] = round(pairs_per_sec, 1)
 
-    progress("q2")
-    # q2: full ER pipeline — the actual pipeline operator
-    # (resolve_entities: assemble -> block -> pair -> per-pair-k score
-    # -> threshold -> CC with the bounded small-graph fast path)
+    progress("q2 prep: materialize transcript corpus (untimed)")
     spark.catalog.clearCache()  # drop q1's persisted frames
+    tpath = f"{scratch}/transcripts.parquet"
+    materialize_transcripts(spark, tpath, N_ENTITIES)
 
-    def er(**cfg_kw):
-        from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
-
-        tdf, _ = generate_transcripts(n_entities=N_ENTITIES, seed=42)
-        t = spark.createDataFrame(tdf).repartition(CPUS)
-        with resolve_entities(t, ResolveConfig(sim_threshold=0.88, **cfg_kw)) as res:
-            return res.clusters.count()
-
-    sec, n_clustered = timed_best2(er)
+    progress("q2")
+    # q2: full ER pipeline — resolve_entities over the pre-materialized
+    # parquet corpus (assemble -> block -> pair -> per-pair-k score ->
+    # threshold -> CC with the bounded small-graph fast path). The
+    # timed region is the PIPELINE alone.
+    sec, n_clustered = timed_best2(lambda: er_from_parquet(spark, tpath))
     queries["q2_er_pipeline"] = round(sec, 3)
     extra["er_records"] = n_clustered
 
@@ -157,13 +222,10 @@ def main() -> None:
     # DISABLED, so the distributed star-contraction CC is always
     # exercised and tracked (the default routing would otherwise hide
     # star-contraction regressions at bench scale; labels are asserted
-    # identical local-vs-distributed in tests)
+    # identical local-vs-distributed in tests). Single timed run: a
+    # regression tracker, not a headline metric.
     spark.catalog.clearCache()
-    # single timed run: q2b is a regression tracker for the distributed
-    # CC path, not a headline metric — q2 (best-of-2) carries the
-    # pipeline number, and a second full pipeline run here costs more
-    # bench wall time than the tracker is worth
-    sec, _ = timed(lambda: er(cc_local_threshold=0))
+    sec, _ = timed(lambda: er_from_parquet(spark, tpath, cc_local_threshold=0))
     queries["q2b_cc_distributed"] = round(sec, 3)
 
     progress("q3")
@@ -180,6 +242,8 @@ def main() -> None:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    from triple_accel_spark.operators.similarity import brute_force_topk
+
     qs = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
     corpus = emb.where(F.col("vec_id") >= 20)
     sec, _ = timed_best2(lambda: brute_force_topk(corpus, qs, k=10).count())
@@ -231,8 +295,134 @@ def main() -> None:
     )
     queries["q6_anchored_search"] = round(sec, 3)
 
+    progress("ann recall")
+    # Approximate-ANN recall@k vs the exact baseline, recorded in the
+    # artifact with the settings used. Disjoint query/corpus split for
+    # the query-set operators (no self-match ambiguity); the all-pairs
+    # config is scored on a deterministic 10% query-id sample.
+    from triple_accel_spark.operators.similarity import (
+        cosine_arrow,
+        ivf_topk,
+        lsh_topk,
+        topk_per_key,
+    )
+
+    spark.catalog.clearCache()
+    rq = emb.where(F.col("vec_id") < 200).withColumnRenamed("vec_id", "query_id")
+    rc = emb.where(F.col("vec_id") >= 200).persist()
+    rc.count()
+
+    def _recall(approx, exact):
+        a = approx.select("query_id", "vec_id")
+        e = exact.select("query_id", "vec_id").persist()
+        r = a.join(e, ["query_id", "vec_id"]).count() / max(e.count(), 1)
+        e.unpersist()
+        return round(r, 4)
+
+    lsh_cfg = {"n_planes": 4, "n_tables": 8}  # the pytest-asserted config
+    ivf_cfg = {"n_centroids": 64, "n_probe": 16}
+    ap_cfg = {"k": 5, "n_planes": 6, "n_tables": 8}  # q4b's perf config
+    ap_tuned_cfg = {"k": 5, "n_planes": 3, "n_tables": 16}  # recall-tuned
+    exact10 = brute_force_topk(rc, rq, k=10).persist()
+    exact10.count()
+    recall = {
+        "k": 10,
+        "n_queries": rq.count(),
+        "lsh": _recall(lsh_topk(rc, rq, k=10, **lsh_cfg), exact10),
+        "ivf": _recall(ivf_topk(rc, rq, k=10, **ivf_cfg), exact10),
+        "lsh_cfg": lsh_cfg, "ivf_cfg": ivf_cfg,
+    }
+    exact10.unpersist()
+    # all-pairs config (q4b settings), sampled query ids: exact top-5
+    # neighbor lists for the sample via broadcast join, self excluded
+    sample = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("cvec"))
+        .join(F.broadcast(sample), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", cosine_arrow("qvec", "cvec"))
+    )
+    exact_ap = topk_per_key(scored, "query_id", ap_cfg["k"]).select(
+        "query_id", "vec_id"
+    )
+    exact_ap = exact_ap.persist()
+    exact_ap.count()
+    # both the q4b perf config (recall of the artifact being TIMED) and
+    # the recall-tuned config (the recall/cost trade as data)
+    for name, cfg in (("allpairs", ap_cfg), ("allpairs_tuned", ap_tuned_cfg)):
+        ap = lsh_all_pairs_topk(emb, **cfg)
+        recall[name] = _recall(
+            ap.join(sample.select("query_id"), "query_id"), exact_ap
+        )
+        recall[f"{name}_cfg"] = cfg
+        for fr in getattr(ap, "_persisted_frames", []):
+            fr.unpersist()
+    exact_ap.unpersist()
+    rc.unpersist()
+    extra["ann_recall"] = recall
+
+    # ------------------------------------------------------- sf1 block
+    # One order of magnitude up (15k entities ~ sf1): single runs —
+    # the question is growth factors, not steady-state noise bands.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
+        progress("sf1 prep: materialize 15k-entity corpus (untimed)")
+        spark.catalog.clearCache()
+        t1path = f"{scratch}/transcripts_sf1.parquet"
+        materialize_transcripts(spark, t1path, SF1_ENTITIES)
+        docs1 = assemble_documents(
+            spark.read.parquet(t1path).repartition(CPUS)
+        ).persist()
+        n_docs1 = docs1.count()
+        max_len1 = docs1.agg(F.max("doc_len")).collect()[0][0] or 1
+        k1 = max(1, int(0.12 * max_len1) + 1)
+
+        progress("sf1 scoring stage")
+        n_pairs1, _, sec_s1, _ = run_scoring_stage(
+            spark, docs1, k1, runs=1, agg="min"
+        )
+        progress("sf1 q3 dedup")
+        docs1_tbl = docs1.select(
+            F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")
+        )
+        sec_d1, _ = timed(lambda: minhash_lsh_duplicates(
+            docs1_tbl, "text", "doc_id", jaccard_threshold=0.5).count())
+        docs1.unpersist()
+        progress("sf1 q2b distributed CC")
+        spark.catalog.clearCache()
+        sec_c1, _ = timed(
+            lambda: er_from_parquet(spark, t1path, cc_local_threshold=0)
+        )
+
+        def growth(sf1_sec, base_sec):
+            return round(sf1_sec / base_sec, 2) if base_sec > 0 else None
+
+        extra["sf1"] = {
+            "n_entities": SF1_ENTITIES, "n_docs": n_docs1,
+            "scale_vs_sf01": round(SF1_ENTITIES / N_ENTITIES, 1),
+            "scoring": {
+                "pairs": n_pairs1, "sec": round(sec_s1, 3),
+                "pairs_per_sec": round(n_pairs1 / sec_s1, 1),
+                "pairs_ratio": round(n_pairs1 / max(n_pairs, 1), 2),
+                "growth_vs_q1": growth(sec_s1, queries["q1_pair_scoring"]),
+            },
+            "minhash_dedup": {
+                "n_docs": n_docs1, "sec": round(sec_d1, 3),
+                "growth_vs_q3": growth(sec_d1, queries["q3_minhash_dedup"]),
+            },
+            "cc_distributed": {
+                "sec": round(sec_c1, 3),
+                "growth_vs_q2b": growth(sec_c1, queries["q2b_cc_distributed"]),
+            },
+            "note": ("single runs at 10x input; growth factors vs the "
+                     "sf0.1 queries — sub-quadratic growth expected "
+                     "everywhere (scoring/dedup ~linear in pairs/docs, "
+                     "CC ~rounds x linear)"),
+        }
+
     total = round(sum(queries.values()), 3)
 
+    # ---------------------------------------------------- scaling block
     # North-rule scaling evidence, measured IN-RUN (never copied from a
     # previous run): the identical scoring stage at local[2] vs
     # local[8] — N vs 4N parallelism with per-core memory resources
@@ -247,58 +437,49 @@ def main() -> None:
     # construction is not the measured stage, and rebuilding ~1M pairs
     # inside a 2-core session tripled the block's wall time.
     progress("scaling: materialize shared pair frame")
-    global PAIR_FANOUT
-    PAIR_FANOUT = 300  # with the floored corpus below: ~670k pairs. Each
-    # point needs enough kernel work that fixed per-job/stage costs are
-    # noise — a 254k-pair point finished in <4s on local[8] and
-    # scheduling overhead capped the measured speedup; at sf<0.1 the
-    # corpus itself is floored to the sf0.1 size for the same reason
-    # (the scaling points are compared against EACH OTHER on identical
-    # input, so the corpus size only needs to be honest across points)
     scaling_entities = max(N_ENTITIES, 1500)
     spark.catalog.clearCache()
     sdocs = build_docs(spark, scaling_entities)
-    # unique per-run path: a fixed name would let concurrent benches
-    # clobber each other's shared frame mid-read
-    scratch = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    # fanout 300 -> ~670k pairs: each point needs enough kernel work
+    # that fixed per-job/stage costs are noise (a 254k-pair point
+    # finished <4s on local[8] and scheduling overhead capped the
+    # measured speedup); at sf<0.1 the corpus is floored to the sf0.1
+    # size — the scaling points are compared against EACH OTHER on
+    # identical input, so the corpus only needs to be honest per run
     pairs_path = f"{scratch}/pairs.parquet"
-    scoring_pairs(sdocs).repartition(64).write.mode("overwrite").parquet(pairs_path)
+    scoring_pairs(sdocs, fanout=300).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(pairs_path)
     spark.stop()
 
     points = (2, 8, 32) if os.environ.get("SPARK_GRAFT_SCALING") == "1" else (2, 8)
-    scaling = {}
-    for n in points:
-        progress(f"scaling local[{n}]")
-        # small scan splits (engine default 256m would coalesce the
-        # ~1 GB pair file into ~5 splits and starve the read), then
-        # repartition to the SAME 2x-cores layout the in-session flow
-        # used: the timed stage must see identical partition/Arrow-
-        # batch geometry per core at both points, or per-task fixed
-        # costs skew the ratio (70 small cached partitions measured
-        # 0.70-1.07 run-to-run; the 2x-cores layout is stable)
-        s = get_spark(f"bench-scale-{n}", master=f"local[{n}]",
-                      shuffle_partitions=n,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
-        np_, _, best = run_scoring_stage(
-            s, None, k, pairs_df=s.read.parquet(pairs_path).repartition(n * 2)
-        )
-        scaling[f"local[{n}]"] = {
-            "pairs": np_, "sec": round(best, 3),
-            "pairs_per_sec": round(np_ / best, 1),
-        }
-        s.stop()
-    shutil.rmtree(scratch, ignore_errors=True)
-    eff28 = (scaling["local[8]"]["pairs_per_sec"]
-             / (4 * scaling["local[2]"]["pairs_per_sec"]))
-    scaling["efficiency_2_to_8"] = round(eff28, 3)
+    scaling: dict = {}
+    for attempt in range(2):
+        for n in points:
+            progress(f"scaling local[{n}] (attempt {attempt + 1})")
+            scaling[f"local[{n}]"] = measure_scaling_point(n, k, pairs_path)
+        eff28 = (scaling["local[8]"]["pairs_per_sec"]
+                 / (4 * scaling["local[2]"]["pairs_per_sec"]))
+        scaling["efficiency_2_to_8"] = round(eff28, 3)
+        if 0.7 <= eff28 <= 1.05:
+            scaling["contended"] = False
+            break
+        # a ratio outside the physically-plausible band means a point
+        # ran against host interference — re-measure the whole set once
+        scaling["contended"] = True
+        progress(f"scaling ratio {eff28:.3f} outside [0.7, 1.05] — retrying")
     if "local[32]" in scaling:
         eff832 = (scaling["local[32]"]["pairs_per_sec"]
                   / (4 * scaling["local[8]"]["pairs_per_sec"]))
         scaling["efficiency_8_to_32"] = round(eff832, 3)
-    scaling["note"] = ("measured this run; local[2]->local[8] is the "
-                       "N->4N cluster analogue — see BASELINE.md for "
-                       "methodology and the multiprocessing control")
+    scaling["note"] = ("median-of-3 per point, measured this run; "
+                       "local[2]->local[8] is the N->4N cluster "
+                       "analogue — BASELINE.md has the methodology and "
+                       "the multiprocessing control. contended=true "
+                       "marks a ratio outside [0.7, 1.05] that "
+                       "persisted through one full re-measure.")
     extra["scaling"] = scaling
+    shutil.rmtree(scratch, ignore_errors=True)
 
     print(json.dumps({
         "metric": "candidate_pairs_scored_per_sec",
