@@ -265,6 +265,22 @@ def main() -> None:
     queries["q4b_ann_allpairs_lsh"] = round(sec, 3)
     extra["allpairs_neighbors"] = n_nbrs
 
+    progress("q4c")
+    # q4c: the RECALL-TUNED all-pairs config (3 planes x 16 tables —
+    # recall@5 0.99 in the ann_recall block, vs 0.36 for q4b's
+    # historical perf config): the price of recall is a bench line, not
+    # prose. q4b keeps the historical config for round-over-round
+    # comparability.
+    def allpairs_tuned():
+        out = lsh_all_pairs_topk(emb, k=5, n_planes=3, n_tables=16)
+        n = out.count()
+        for fr in getattr(out, "_persisted_frames", []):
+            fr.unpersist()
+        return n
+
+    sec, _ = timed_best2(allpairs_tuned)
+    queries["q4c_ann_allpairs_tuned"] = round(sec, 3)
+
     progress("q5")
     # q5: hamming kernel over fixed-width prefixes of sf documents
     from triple_accel_spark.functions import hamming

@@ -228,6 +228,46 @@ class TestNullRaggedVectors:
         assert all(r.c == 0.0 for r in out.collect())
 
 
+def test_stream_dedup_exact_matches_batch_digest_set(spark, tmp_path):
+    """Streaming exact dedup survives the same digest SET as the batch
+    operator (representative ids may differ: first-arrived vs min-id),
+    and NULL-text rows all survive (batch NULL policy)."""
+    from triple_accel_spark.operators.dedup import dedup_exact
+    from triple_accel_spark.streaming.incremental import stream_dedup_exact
+
+    rows = [
+        (1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma"), (5, "beta"),
+        (6, None), (7, None), (8, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ts", F.current_timestamp()
+    )
+    src = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql("select doc_id, text from dedup_stream").collect()
+
+    batch = dedup_exact(df, "text", "doc_id").collect()
+    # one survivor per distinct content + every NULL row, both engines
+    assert len(got) == len(batch) == 5
+    assert sorted(r.text or "~null" for r in got) == sorted(
+        r.text or "~null" for r in batch
+    )
+    assert {r.doc_id for r in got if r.text is None} == {6, 7}
+
+
 def test_edit_with_traceback_single_arrow_eval(spark):
     """ADVICE r3: filtering on the returned struct must not duplicate
     the trace DP into the pushed-down predicate (asNondeterministic)."""

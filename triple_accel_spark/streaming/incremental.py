@@ -203,6 +203,40 @@ def stream_assign_clusters(
     )
 
 
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST-arrived document per
+    content digest within the watermark window
+    (``dropDuplicatesWithinWatermark`` on ``md5(text)`` — state is one
+    digest row per distinct document, expired by the watermark, so
+    state size tracks distinct-content volume per window, not stream
+    length).
+
+    Semantics vs the batch ``dedup_exact``: the batch operator keeps
+    the MIN-id representative (deterministic under any scan order); a
+    stream has an arrival order, so the representative is the first
+    arrival — the digest SET of survivors is identical, the chosen ids
+    may differ (asserted in tests). NULL policy matches batch: a NULL
+    document is never a duplicate of anything — Spark's dropDuplicates
+    treats NULLs as equal, so NULL-text rows get a per-row surrogate
+    key and all survive."""
+    digest = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    return (
+        docs_stream.withColumn("_dg", digest)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dg"])
+        .drop("_dg")
+    )
+
+
 def consolidate_assignments(assigned: DataFrame) -> DataFrame:
     """Batch post-pass over ``stream_assign_clusters`` output
     (periodic, e.g. per checkpoint window): a doc assigned in several
