@@ -970,6 +970,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return decode_stats(media)
 
+    def corpus_cleanse_docs(spark, sf_dir):
+        # the COMPOSITE training-corpus cleanse endpoint, hash-verified
+        # end to end: validity -> quality threshold -> language filter
+        # -> exact dedup -> near dedup, each stage one of the
+        # independently-oracled operators, replayed as one SQL chain.
+        # Input: the planted near-dup corpus (LSH recall provably 1.0
+        # at these settings) PLUS byte-identical copies of docs < 50 at
+        # id+2e6 so the exact-dedup stage also drops rows.
+        from triple_accel_spark.operators.corpus import (
+            CleanseConfig,
+            prepare_training_corpus,
+        )
+
+        base = _dup_corpus(spark, sf_dir)
+        exact_copies = base.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+        corpus = base.union(exact_copies)
+        res = prepare_training_corpus(
+            corpus,
+            cfg=CleanseConfig(
+                min_tokens=5, quality_threshold=0.88, langs=("en",),
+                q=5, num_hashes=32, num_bands=16, jaccard_threshold=0.8,
+            ),
+        )
+        return res.kept.select(
+            "doc_id", "lang_pred",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality_score",
+        )
+
     def media_feature_ppm(spark, sf_dir):
         # decode -> FEATURE end to end (media_decode_ppm covers decode
         # -> stats): the same synthesized PPM payloads run through
@@ -1058,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_docs": media_features_docs,
         "media_decode_ppm": media_decode_ppm,
         "media_feature_ppm": media_feature_ppm,
+        "corpus_cleanse_docs": corpus_cleanse_docs,
     }
 
 
@@ -1625,6 +1657,111 @@ def oracle_sql() -> dict[str, str]:
                    3 * n AS n_px,
                    (3 * cs)::DOUBLE / (3 * n)::DOUBLE AS mean_px
             FROM s
+        """,
+        "corpus_cleanse_docs": f"""
+            -- the full cleanse chain replayed: validity -> quality ->
+            -- lang -> exact dedup (min-id per md5) -> near dedup
+            -- (exact O(n^2) 5-gram Jaccard edges over the survivors +
+            -- recursive-CTE CC, min-id kept). Operator recall == exact
+            -- at these band settings on this planted corpus (the same
+            -- argument as dedup_near_docs).
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM ({_DUP_CORPUS_SQL})
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM ({_DUP_CORPUS_SQL})
+              WHERE doc_id < 50
+            ),
+            qf AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+                     length(regexp_replace(text, '[^\\s]', '', 'g')) AS space,
+                     length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS uniq_words,
+                     length(regexp_extract_all(text, '{word_re}')) AS n_tokens
+              FROM corpus
+            ),
+            qr AS (
+              SELECT doc_id, text, n_tokens,
+                     CASE WHEN n_chars > 0 THEN alpha::DOUBLE / n_chars::DOUBLE ELSE 0.0::DOUBLE END AS alpha_ratio,
+                     CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars::DOUBLE ELSE 0.0::DOUBLE END AS punct_ratio,
+                     CASE WHEN n_words > 0 THEN uniq_words::DOUBLE / n_words::DOUBLE ELSE 0.0::DOUBLE END AS uniq_word_ratio,
+                     CASE WHEN n_words > 0 THEN (n_chars - space)::DOUBLE / n_words::DOUBLE ELSE 0.0::DOUBLE END AS mean_word_len
+              FROM qf
+            ),
+            qs AS (
+              SELECT doc_id, text, n_tokens,
+                     round(least(alpha_ratio / 0.6::DOUBLE, 1.0::DOUBLE) * 0.4::DOUBLE
+                     + (1.0::DOUBLE - least(punct_ratio / 0.5::DOUBLE, 1.0::DOUBLE)) * 0.2::DOUBLE
+                     + least(uniq_word_ratio, 1.0::DOUBLE) * 0.2::DOUBLE
+                     + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12
+                            THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
+              FROM qr
+            ),
+            langs(lang, words) AS (VALUES {lang_rows}),
+            hits AS (
+              SELECT d.doc_id, l.lang,
+                     length(list_filter(
+                        regexp_split_to_array(lower(d.text), '[^a-zà-ÿ]+'),
+                        t -> list_contains(l.words, t))) AS n_hits
+              FROM corpus d CROSS JOIN langs l
+            ),
+            lp AS (
+              SELECT doc_id,
+                     CASE WHEN max(struct_pack(hits := n_hits, lang := lang)).hits > 0
+                          THEN max(struct_pack(hits := n_hits, lang := lang)).lang
+                          ELSE 'und' END AS lang_pred
+              FROM hits GROUP BY doc_id
+            ),
+            base AS (
+              SELECT q.doc_id, q.text, q.n_tokens, q.quality_score, lp.lang_pred
+              FROM qs q JOIN lp ON q.doc_id = lp.doc_id
+              WHERE q.text IS NOT NULL AND q.n_tokens >= 5
+                AND q.quality_score >= 0.88::DOUBLE AND lp.lang_pred = 'en'
+            ),
+            ex AS (
+              SELECT * FROM (
+                SELECT b.*, min(doc_id) OVER (PARTITION BY md5(text)) AS _mk
+                FROM base b
+              ) WHERE doc_id = _mk
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN length(nt) >= 5
+                            THEN list_transform(range(1, length(nt) - 3),
+                                                i -> substr(nt, i::INT, 5))
+                            ELSE [substr(nt, 1, 5)] END) AS gs
+              FROM (SELECT doc_id,
+                           lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                    FROM ex)
+            ),
+            pre AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     length(list_intersect(a.gs, b.gs)) AS i,
+                     length(a.gs) AS na, length(b.gs) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ),
+            m AS (
+              SELECT id_a, id_b FROM pre
+              WHERE i::DOUBLE / (na + nb - i)::DOUBLE >= 0.8::DOUBLE
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM ex
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            ),
+            keep AS (
+              SELECT id FROM reach GROUP BY id HAVING min(r) = id
+            )
+            SELECT ex.doc_id, ex.lang_pred, ex.n_tokens::BIGINT AS n_tokens,
+                   ex.quality_score
+            FROM ex JOIN keep ON ex.doc_id = keep.id
         """,
         "media_feature_ppm": """
             -- decoded-pixel folded histogram recomputed from the source

@@ -346,7 +346,10 @@ def main() -> None:
         "n_queries": rq.count(),
         "lsh": _recall(lsh_topk(rc, rq, k=10, **lsh_cfg), exact10),
         "ivf": _recall(ivf_topk(rc, rq, k=10, **ivf_cfg), exact10),
-        "lsh_cfg": lsh_cfg, "ivf_cfg": ivf_cfg,
+        "ivf_refined": _recall(
+            ivf_topk(rc, rq, k=10, refine_iters=2, **ivf_cfg), exact10
+        ),
+        "lsh_cfg": lsh_cfg, "ivf_cfg": ivf_cfg, "ivf_refine_iters": 2,
     }
     exact10.unpersist()
     # all-pairs config (q4b settings), sampled query ids: exact top-5

@@ -228,6 +228,96 @@ class TestNullRaggedVectors:
         assert all(r.c == 0.0 for r in out.collect())
 
 
+def test_prepare_training_corpus_stages_and_lifecycle(spark):
+    """The composite cleanse: stage metrics monotone non-increasing,
+    NULL/short/duplicate rows dropped by the right stage, storage
+    released by the context manager."""
+    from triple_accel_spark.operators.corpus import (
+        CleanseConfig,
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with the hat and the bat"),  # en, keeper
+        (2, "the cat sat on the mat with the hat and the bat"),  # exact dup of 1
+        (3, "the cat sat on the mat with the hat and the rat"),  # near dup of 1
+        (4, None),                                               # NULL -> validity
+        (5, "tiny"),                                             # token floor
+        (6, "der die und das ist nicht ein mit gut tag heute"),  # de -> lang filter
+        (7, "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ~~ ``"),     # junk -> quality
+        (8, "completely different english text about the quick brown fox jumping"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    res = prepare_training_corpus(
+        df,
+        cfg=CleanseConfig(
+            min_tokens=5, quality_threshold=0.5, langs=("en",),
+            q=3, num_hashes=32, num_bands=16, jaccard_threshold=0.6,
+        ),
+    )
+    kept = {r.doc_id for r in res.kept.collect()}
+    m = res.metrics
+    with_cache = len(jsc.getRDDStorageInfo())
+    res.unpersist()
+    # the operator's own cache (the flagged projection) is released on
+    # unpersist (blocking); connected_components' bounded
+    # localCheckpoint blocks are cleaned asynchronously by the
+    # ContextCleaner and are not this operator's to release
+    assert len(jsc.getRDDStorageInfo()) < with_cache
+    assert kept == {1, 8}
+    assert m["n_input"] == 8
+    assert m["n_valid"] == 6      # drops NULL + token floor
+    assert m["n_quality"] == 5    # drops the junk row
+    assert m["n_lang"] == 4       # drops the German row
+    assert m["n_exact"] == 3      # drops the byte-identical copy
+    assert m["n_near"] == 2       # drops the near duplicate
+    seq = [m["n_input"], m["n_valid"], m["n_quality"], m["n_lang"],
+           m["n_exact"], m["n_near"]]
+    assert seq == sorted(seq, reverse=True)
+
+
+def test_ivf_kmeans_refinement(spark):
+    """Lloyd refinement of the IVF codebook: deterministic, preserves
+    the full-probe == exact-brute-force identity (structural — every
+    bucket is probed regardless of codebook), and must not hurt recall
+    on the testdata embeddings (it measured +8pts at 2 iterations)."""
+    from triple_accel_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    c = emb.where(F.col("vec_id") >= 20)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(c, q, k=5).collect()}
+    fp = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            c, q, k=5, n_centroids=16, n_probe=16, refine_iters=2
+        ).collect()
+    }
+    assert fp == exact
+    r1 = sorted(
+        map(tuple, ivf_topk(c, q, k=5, n_centroids=16, n_probe=4,
+                            refine_iters=2).collect())
+    )
+    r2 = sorted(
+        map(tuple, ivf_topk(c, q, k=5, n_centroids=16, n_probe=4,
+                            refine_iters=2).collect())
+    )
+    assert r1 == r2
+
+
 def test_stream_dedup_exact_matches_batch_digest_set(spark, tmp_path):
     """Streaming exact dedup survives the same digest SET as the batch
     operator (representative ids may differ: first-arrived vs min-id),

@@ -425,6 +425,35 @@ def _centroid_matrix(
     return mat / norms
 
 
+def _refine_centroids(
+    corpus_sel: DataFrame, cents: np.ndarray, n_iters: int
+) -> np.ndarray:
+    """Lloyd (k-means) refinement of the IVF codebook: assign every
+    vector to its nearest centroid (one matmul pass per Arrow batch),
+    average the members per cluster JVM-side (posexplode + groupBy
+    (cid, pos) — a C x dim collect, tiny), L2-normalize. Deterministic:
+    assignment ties break by centroid index (argpartition + stable
+    sort), averages are Spark float aggregation over a fixed grouping.
+    Empty clusters keep their previous centroid (standard practice;
+    deterministic)."""
+    for _ in range(n_iters):
+        nc1 = _nearest_centroids_udf(cents, 1)
+        assigned = corpus_sel.withColumn("cid", nc1(F.col("_v")).getItem(0))
+        rows = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cid"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
     """pandas UDF: per vector, the indices of its ``n_probe`` nearest
     codebook centroids by cosine (one matmul per Arrow batch)."""
@@ -459,6 +488,7 @@ def ivf_topk(
     n_centroids: int = 64,
     n_probe: int = 8,
     vec_impl: str = "arrow",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index — the
     other standard ANN scale path next to sign-LSH: assign every corpus
@@ -469,11 +499,25 @@ def ivf_topk(
     Candidate volume is ~``n_probe/n_centroids`` of the corpus per
     query. With ``n_probe == n_centroids`` every bucket is probed and
     the result EQUALS the exact brute-force top-k (the driver-oracle
-    construction); recall at realistic settings is asserted in tests
-    against ``brute_force_topk``."""
+    construction — structurally independent of the codebook, so it
+    holds for any ``refine_iters``); recall at realistic settings is
+    asserted in tests against ``brute_force_topk``.
+
+    ``refine_iters`` > 0 runs that many Lloyd (k-means) iterations over
+    the corpus to train the codebook (each iteration = one corpus
+    assignment pass + a C x dim averaging collect). A trained codebook
+    balances bucket sizes, which raises recall per probe on clustered
+    data; on near-uniform data the gain is small — measure (the bench
+    records recall for both)."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     cents = _centroid_matrix(corpus, vec_col, id_col, n_centroids)
+    if refine_iters > 0 and cents.size > 0:
+        sel = corpus.select(F.col(vec_col).alias("_v")).persist()
+        try:
+            cents = _refine_centroids(sel, cents, refine_iters)
+        finally:
+            sel.unpersist()
     if cents.size == 0:
         # empty corpus: same contract as the other top-k operators —
         # an empty result frame (id types follow the inputs), not a
