@@ -180,6 +180,62 @@ def test_stream_assign_clusters_stateful(spark, tmp_path):
     assert len(labels) == expected
 
 
+def test_stream_assign_clusters_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resumability, streaming form: stop the stateful query
+    and START A NEW one on the same checkpoint — state (the per-block
+    representative set) must survive the restart, so a duplicate
+    arriving AFTER the restart is still assigned to the ORIGINAL's
+    cluster seeded before it."""
+    from triple_accel_spark.streaming.incremental import stream_assign_clusters
+
+    src = str(tmp_path / "resume_src")
+    ckpt = str(tmp_path / "resume_ckpt")
+    schema = "conv_id string, doc string, block_key string"
+    base_doc = "the quick brown fox jumps over the lazy dog again and again ok"
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    # phase 1: the original seeds the representative set
+    spark.createDataFrame(
+        [("c000001", base_doc, base_doc[:12])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "resume_out")
+
+    def run_pass(name):
+        # each restart is a NEW query on the SAME checkpoint; a FILE
+        # sink (memory sinks don't support checkpoint recovery)
+        # accumulates exactly-once output across restarts
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_assign_clusters(stream, sim_threshold=0.85,
+                                   state_timeout_ms=0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out).collect()
+
+    got1 = run_pass("resume_pass1")
+    assert {(r.conv_id, r.cluster_id) for r in got1} == {("c000001", "c000001")}
+
+    # phase 2: new file, NEW query, same checkpoint — the dup differs
+    # by one char and must land in the pre-restart representative's
+    # cluster (state restored), not self-cluster (state lost)
+    dup = base_doc[:40] + "Q" + base_doc[41:]
+    spark.createDataFrame(
+        [("d000001", dup, dup[:12])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = run_pass("resume_pass2")
+    labels = {r.conv_id: r.cluster_id for r in got2}
+    assert labels["d000001"] == "c000001"
+
+
 def test_stream_match_against_static_index(spark, corpus, tmp_path):
     t, truth = corpus
     docs = assemble_documents(t)
