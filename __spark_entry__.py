@@ -443,6 +443,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long").alias("cost"),
         )
 
+    def lev_binary_adjacent(spark, sf_dir):
+        # the BinaryType input path (the reference's native byte
+        # semantics, lib.rs:41-44): score encode(text) binary columns —
+        # for ASCII corpora the byte distance equals DuckDB's
+        # levenshtein over the source strings, so the binary code path
+        # (Arrow bytes -> encode_batch zero-copy) gets a hash oracle;
+        # non-UTF8 payload behavior is pytest-oracled
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return p.select(
+            "id_a", "id_b",
+            edit_distance(
+                F.encode("text_a", "utf-8"), F.encode("text_b", "utf-8")
+            ).cast("long").alias("dist"),
+        )
+
     def edit_costs_natural(spark, sf_dir):
         # the generalized affine-cost kernel on NATURAL pairs with a
         # hard DuckDB oracle: the full Gotoh DP (open = start_gap+gap,
@@ -1051,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdamerau_planted": rdamerau_planted,
         "rdamerau_swapped_planted": rdamerau_swapped_planted,
         "edit_costs_adjacent": edit_costs_adjacent,
+        "lev_binary_adjacent": lev_binary_adjacent,
         "edit_costs_natural": edit_costs_natural,
         "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
@@ -1150,6 +1166,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CASE WHEN 2 * levenshtein(a.text, b.text) <= 80
                         THEN 2 * levenshtein(a.text, b.text) END AS dist2
+            {_ADJ_SQL}
+        """,
+        "lev_binary_adjacent": f"""
+            -- byte distance == string levenshtein on this ASCII corpus
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
             {_ADJ_SQL}
         """,
         "edit_costs_natural": f"""

@@ -358,6 +358,65 @@ def test_stream_dedup_exact_matches_batch_digest_set(spark, tmp_path):
     assert {r.doc_id for r in got if r.text is None} == {6, 7}
 
 
+class TestBinaryColumns:
+    """The reference is byte-oriented (&[u8], lib.rs:41-44); the engine
+    scores Spark BinaryType columns directly — including non-UTF8
+    payloads no StringType column can carry — through every kernel
+    UDF (Arrow hands the UDFs bytes; encode_batch consumes them
+    zero-copy)."""
+
+    @pytest.fixture(scope="class")
+    def bin_df(self, spark):
+        rows = [
+            (1, b"\x00\xff\xfekitten", b"\x00\xff\xfesitting"),
+            (2, b"abcd", b"abdc"),
+            (3, bytes(range(256)), bytes(range(255, -1, -1))),
+            (4, None, b"x"),
+        ]
+        return spark.createDataFrame(rows, "id long, a binary, b binary")
+
+    def test_distances_on_non_utf8_bytes(self, spark, bin_df):
+        from triple_accel_spark.functions import (
+            edit_distance,
+            hamming,
+            rdamerau,
+        )
+
+        got = {
+            r.id: (r.lev, r.lev_k, r.osa, r.ham)
+            for r in bin_df.select(
+                "id",
+                edit_distance("a", "b").alias("lev"),
+                edit_distance("a", "b", k=5).alias("lev_k"),
+                rdamerau("a", "b").alias("osa"),
+                hamming(F.col("a"), F.col("b")).alias("ham"),
+            ).collect()
+        }
+        assert got[1] == (3, 3, 3, None)  # hamming: length mismatch -> NULL
+        assert got[2] == (2, 2, 1, 2)  # OSA: one transposition
+        # reversed 0..255: all 256 positions substitute; OSA saves ONE
+        # edit via the i=127 adjacent transposition (127,128 <-> 128,127);
+        # hamming differs at every position
+        assert got[3] == (256, None, 255, 256)
+        assert got[4] == (None, None, None, None)
+
+    def test_search_and_traceback_on_bytes(self, spark, bin_df):
+        from triple_accel_spark.functions import edit_search, edit_with_traceback
+
+        s = bin_df.where(F.col("id") == 1).select(
+            edit_search(F.col("b"), F.col("a"), k=4, search_type="best")
+            .alias("m")
+        ).collect()[0].m
+        assert [(m.start, m.end, m.k) for m in s] == [(0, 9, 3)]
+        t = bin_df.where(F.col("id") == 2).select(
+            edit_with_traceback("a", "b").alias("t")
+        ).collect()[0].t
+        assert t.cost == 2
+        assert [(e.edit, e["count"]) for e in t.trace] == [
+            ("match", 2), ("mismatch", 2)
+        ]
+
+
 def test_edit_with_traceback_single_arrow_eval(spark):
     """ADVICE r3: filtering on the returned struct must not duplicate
     the trace DP into the pushed-down predicate (asNondeterministic)."""
