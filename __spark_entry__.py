@@ -758,6 +758,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    def ann_lsh_planted(spark, sf_dir):
+        # a HARD hash oracle through lsh_topk's own plan (multitable
+        # stacked-matmul buckets -> bucket equi-join -> exact cosine ->
+        # salted rank): plant a 0.5-scaled twin of every query in the
+        # corpus. A scaled vector has IDENTICAL sign-LSH buckets in
+        # every table (sign(0.5·v·p) = sign(v·p)), so the twin is
+        # structurally guaranteed into the candidate set; its cosine is
+        # exactly 1.0, strictly above every other corpus vector (random
+        # vectors are never parallel), so LSH top-1 == exact top-1
+        # provably. DuckDB replays the exact top-1 over the same
+        # corpus. (ann_lsh keeps realistic settings as the rows-only
+        # recall query; this pins the operator's machinery.)
+        from triple_accel_spark.operators.similarity import lsh_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 50).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        twins = qs.select(
+            (F.col("query_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = dbl.where(F.col("vec_id") >= 50).union(twins)
+        top = lsh_topk(corpus, qs, k=1, n_planes=8, n_tables=4)
+        return top.select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def ann_allpairs(spark, sf_dir):
         # corpus x corpus top-k neighbor lists, exact baseline (the
         # recall yardstick for lsh_all_pairs_topk, which is
@@ -1090,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_topk_arrow": ann_topk_arrow,
         "ann_lsh": ann_lsh,
+        "ann_lsh_planted": ann_lsh_planted,
         "ann_ivf": ann_ivf,
         "ann_ivf_fullprobe": ann_ivf_fullprobe,
         "ann_allpairs": ann_allpairs,
@@ -1367,6 +1401,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
             SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        "ann_lsh_planted": """
+            -- exact top-1 over the twin-planted corpus: the 0.5-scaled
+            -- twin shares every sign-LSH bucket with its query, so the
+            -- LSH result provably equals this exact replay
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v FROM dbl WHERE vec_id < 50),
+            corpus AS (
+              SELECT vec_id, v FROM dbl WHERE vec_id >= 50
+              UNION ALL
+              SELECT query_id + 1000000,
+                     list_transform(v, x -> x * 0.5::DOUBLE)
+              FROM q
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cosine
+              FROM q CROSS JOIN corpus c
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            FROM ranked WHERE rank <= 1
         """,
         "ann_allpairs": """
             WITH dbl AS (
