@@ -758,6 +758,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    def ann_ivf_planted(spark, sf_dir):
+        # the twin construction for IVF at REALISTIC probe settings
+        # (ann_ivf_fullprobe pins the plumbing; this pins partial-probe
+        # routing): a 0.5-scaled twin L2-normalizes to the same unit
+        # vector as its query, so its nearest codebook centroid is
+        # IDENTICAL — the twin's bucket is always among the query's
+        # probed buckets for any n_probe >= 1, and its cosine (exactly
+        # 1.0) wins rank 1 provably. DuckDB replays the exact top-1.
+        from triple_accel_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dbl = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        qs = dbl.where(F.col("vec_id") < 50).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        twins = qs.select(
+            (F.col("query_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = dbl.where(F.col("vec_id") >= 50).union(twins)
+        top = ivf_topk(corpus, qs, k=1, n_centroids=32, n_probe=4)
+        return top.select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def ann_lsh_planted(spark, sf_dir):
         # a HARD hash oracle through lsh_topk's own plan (multitable
         # stacked-matmul buckets -> bucket equi-join -> exact cosine ->
@@ -1124,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": ann_topk_arrow,
         "ann_lsh": ann_lsh,
         "ann_lsh_planted": ann_lsh_planted,
+        "ann_ivf_planted": ann_ivf_planted,
         "ann_ivf": ann_ivf,
         "ann_ivf_fullprobe": ann_ivf_fullprobe,
         "ann_allpairs": ann_allpairs,
@@ -1401,6 +1431,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
             SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        "ann_ivf_planted": """
+            -- same twin replay as ann_lsh_planted (normalized twin ->
+            -- same centroid -> always probed; cosine 1.0 wins rank 1)
+            WITH dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v FROM dbl WHERE vec_id < 50),
+            corpus AS (
+              SELECT vec_id, v FROM dbl WHERE vec_id >= 50
+              UNION ALL
+              SELECT query_id + 1000000,
+                     list_transform(v, x -> x * 0.5::DOUBLE)
+              FROM q
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cosine
+              FROM q CROSS JOIN corpus c
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            FROM ranked WHERE rank <= 1
         """,
         "ann_lsh_planted": """
             -- exact top-1 over the twin-planted corpus: the 0.5-scaled

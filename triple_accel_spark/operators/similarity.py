@@ -447,7 +447,10 @@ def _refine_centroids(
         )
         new = cents.copy()
         for r in rows:
-            new[r["cid"], r["pos"]] = r["m"]
+            # a ragged/invalid vector yields a NULL cid (the assignment
+            # UDF's dirty-row contract) — it belongs to no cluster
+            if r["cid"] is not None:
+                new[r["cid"], r["pos"]] = r["m"]
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = new / norms
