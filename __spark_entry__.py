@@ -621,6 +621,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           num_bands=4, gram_hash="md5")
         return kept.select("doc_id")
 
+    def dedup_near_embedding_docs(spark, sf_dir):
+        # the EMBEDDING route of the dedup endpoint (semantic near-dups:
+        # sign-LSH candidates -> exact cosine edges -> CC -> min-id):
+        # planted 0.5-scaled twins guarantee the candidate edges (same
+        # buckets in every table), and at threshold 0.999 the exact
+        # O(n^2) cosine filter finds exactly those pairs (the
+        # embedding_dups precedent), so the recursive-CTE CC replay is
+        # a hard hash oracle for the whole endpoint
+        from triple_accel_spark.operators.dedup import dedup_near
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        twins = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = emb.union(twins)
+        kept = dedup_near(
+            corpus, "embedding", "vec_id", method="embedding",
+            cosine_threshold=0.999, n_planes=12,
+        )
+        return kept.select("vec_id")
+
     def simhash_docs(spark, sf_dir):
         # single-pass scale path (explode + one combinable aggregation);
         # fingerprints are bit-identical to the simhash64 Column form
@@ -1141,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "dedup_near_docs": dedup_near_docs,
         "dedup_near_simhash_docs": dedup_near_simhash_docs,
+        "dedup_near_embedding_docs": dedup_near_embedding_docs,
         "simhash_docs": simhash_docs,
         "simhash_md5_docs": simhash_md5_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -1431,6 +1457,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
             )
             SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        "dedup_near_embedding_docs": """
+            -- exact O(n^2) cosine edges over the twin-planted corpus,
+            -- recursive-CTE CC, min-id representative kept
+            WITH RECURSIVE dbl AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, v FROM dbl
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(v, x -> x * 0.5::DOUBLE)
+              FROM dbl WHERE vec_id < 50
+            ),
+            m AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT vec_id, vec_id FROM corpus
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            )
+            SELECT id AS vec_id FROM reach GROUP BY id HAVING min(r) = id
         """,
         "ann_ivf_planted": """
             -- same twin replay as ann_lsh_planted (normalized twin ->

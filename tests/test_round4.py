@@ -214,6 +214,33 @@ class TestNullRaggedVectors:
         }
         assert arrow_b == expr_b
 
+    def test_dedup_near_embedding_route(self, spark, dirty):
+        """method='embedding' completes the dedup family (lexical
+        Jaccard / fingerprint Hamming / semantic cosine): planted
+        scaled twins collapse onto the min-id representative; NULL and
+        ragged rows survive (never duplicates of anything)."""
+        from triple_accel_spark.operators.dedup import dedup_near
+
+        clean = dirty.where(F.col("vec_id") < 40)
+        twins = clean.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        )
+        corpus = dirty.union(twins)
+        kept = {
+            r.vec_id
+            for r in dedup_near(
+                corpus, "embedding", "vec_id", method="embedding",
+                cosine_threshold=0.9999, n_planes=6,
+            ).collect()
+        }
+        # twins dropped (min-id keeps the original)...
+        assert all(1000 + i not in kept for i in range(5))
+        assert all(i in kept for i in range(5))
+        # ...but note: rows i and i+7 share direction only if parallel —
+        # these aren't; dirty rows (NULL/ragged) always survive
+        assert 100 in kept and 101 in kept
+
     def test_cosine_arrow_scores_dirty_pairs_zero(self, spark, dirty):
         from triple_accel_spark.operators.similarity import cosine_arrow
 

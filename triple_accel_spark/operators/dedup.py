@@ -238,6 +238,8 @@ def dedup_near(
     method: str = "minhash",
     max_hamming: int = 3,
     gram_hash: str = "xxhash64",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
 ) -> DataFrame:
     """Keep one representative (min id) per NEAR-duplicate group: the
     standard training-corpus dedup endpoint. Composition: near-dup
@@ -249,7 +251,12 @@ def dedup_near(
     Hamming distance <= ``max_hamming`` via the bit-band route (cheaper
     verification — one popcount per candidate, no gram re-join — at a
     coarser notion of nearness; ``num_bands``/``gram_hash`` pass
-    through, recall guarantee per ``simhash_near_duplicates``)."""
+    through, recall guarantee per ``simhash_near_duplicates``);
+    ``method="embedding"`` edges on exact cosine >= ``cosine_threshold``
+    over sign-LSH candidate pairs (``text_col`` then names the
+    ``array<float>`` embedding column; ``n_planes`` passes through to
+    ``embedding_near_duplicates`` — semantic near-duplicates, the third
+    standard notion next to lexical Jaccard and fingerprint Hamming)."""
     from triple_accel_spark.operators.clustering import connected_components
 
     if method == "simhash":
@@ -262,8 +269,15 @@ def dedup_near(
             df, text_col, id_col, q=q, num_hashes=num_hashes,
             num_bands=num_bands, jaccard_threshold=jaccard_threshold,
         )
+    elif method == "embedding":
+        edges = embedding_near_duplicates(
+            df, text_col, id_col, cosine_threshold=cosine_threshold,
+            n_planes=n_planes,
+        )
     else:
-        raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
+        raise ValueError(
+            f"method must be 'minhash', 'simhash' or 'embedding', got {method!r}"
+        )
     # connected_components iterates with internal actions, so the edge
     # frame is fully materialized (and checkpointed away from its
     # lineage) by the time it returns — safe to release the caches
