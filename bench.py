@@ -311,6 +311,30 @@ def main() -> None:
     )
     queries["q6_anchored_search"] = round(sec, 3)
 
+    progress("q7")
+    # q7: the composite training-corpus cleanse over the sf documents
+    # table (validity -> quality -> lang -> exact dedup -> near dedup)
+    # — the flagship LLM-data-curation endpoint as one bench line
+    from triple_accel_spark.operators.corpus import (
+        CleanseConfig,
+        prepare_training_corpus,
+    )
+
+    def cleanse():
+        res = prepare_training_corpus(
+            sf_docs, cfg=CleanseConfig(
+                min_tokens=5, quality_threshold=0.5, langs=None,
+                jaccard_threshold=0.5, num_bands=8,
+            ),
+        )
+        n = res.metrics["n_near"]
+        res.unpersist()
+        return n
+
+    sec, n_clean = timed_best2(cleanse)
+    queries["q7_corpus_cleanse"] = round(sec, 3)
+    extra["cleanse_survivors"] = n_clean
+
     progress("ann recall")
     # Approximate-ANN recall@k vs the exact baseline, recorded in the
     # artifact with the settings used. Disjoint query/corpus split for

@@ -240,6 +240,7 @@ def dedup_near(
     gram_hash: str = "xxhash64",
     cosine_threshold: float = 0.95,
     n_planes: int = 12,
+    cc_local_threshold: int = 100_000,
 ) -> DataFrame:
     """Keep one representative (min id) per NEAR-duplicate group: the
     standard training-corpus dedup endpoint. Composition: near-dup
@@ -278,12 +279,30 @@ def dedup_near(
         raise ValueError(
             f"method must be 'minhash', 'simhash' or 'embedding', got {method!r}"
         )
-    # connected_components iterates with internal actions, so the edge
-    # frame is fully materialized (and checkpointed away from its
-    # lineage) by the time it returns — safe to release the caches
-    labels = connected_components(edges.select("id_a", "id_b"))
+    # EAGER lineage barrier before CC: each star pass references its
+    # input 4x and the per-round barriers inside connected_components
+    # are lazy (they truncate only after first materialization), so
+    # CC's first interval action would otherwise inline the whole
+    # LSH-verification chain ~4^rounds times — measured 83s vs 8.4s on
+    # a 256-edge graph at sf0.1. One job materializes the (tiny) edge
+    # list once; CC then iterates over the RDD barrier.
+    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     for fr in getattr(edges, "_persisted_frames", []):
         fr.unpersist()
+    # counting the checkpointed edge list is one cheap job; match
+    # graphs at or below the threshold cluster via the bounded driver
+    # union-find (the star contraction's ~10 stages/round dominate
+    # small graphs — same routing + justification as the pipeline's
+    # cc_local_threshold: a latency optimization that 10^12-scale
+    # never triggers, never a scalability crutch). 0 disables.
+    if cc_local_threshold and e.count() <= cc_local_threshold:
+        from triple_accel_spark.operators.clustering import (
+            local_connected_components,
+        )
+
+        labels = local_connected_components(e)
+    else:
+        labels = connected_components(e)
     drop = labels.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
