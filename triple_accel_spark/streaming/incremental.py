@@ -253,6 +253,12 @@ def consolidate_assignments(assigned: DataFrame) -> DataFrame:
         )
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
+        # eager barrier: CC's star passes reference their input 4x per
+        # round and its internal lazy checkpoints only truncate after
+        # first materialization — without this, the first CC action
+        # re-evaluates the upstream (sink scan + distinct) lineage
+        # ~4^rounds times (the dedup_near lesson, dedup.py)
+        .localCheckpoint(eager=True)
     )
     labels = connected_components(edges)
     all_ids = assigned.select(F.col("conv_id").alias("id")).distinct()
