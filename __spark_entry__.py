@@ -172,6 +172,46 @@ _SIMHASH_EDGES_SQL = f"""
 """
 
 
+def _link_right_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RIGHT table for the two-table linkage queries:
+    every even doc re-appears at id+1,000,000 with one char deleted at
+    position 40 (past the 12-char normalized blocking prefix, so the
+    planted pair stays co-blocked; DuckDB rebuilds the identical
+    table in SQL)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("id"),
+            F.concat(
+                F.substring("text", 1, 39), F.expr("substring(text, 41)")
+            ).alias("text"),
+        )
+    )
+
+
+_LINK_RIGHT_SQL = """
+  SELECT doc_id + 1000000 AS id_r,
+         substr(text, 1, 39) || substr(text, 41) AS text
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+# two-table linkage pairs: prefix-block equality join, levenshtein
+# scoring, match threshold — the SQL replay of link_records' chain
+_LINK_PAIR_SQL = f"""
+SELECT l.doc_id AS id_l, r.id_r AS id_r,
+       levenshtein(l.text, r.text) AS dist,
+       1.0::DOUBLE - levenshtein(l.text, r.text)::DOUBLE
+           / greatest(length(l.text), length(r.text), 1)::DOUBLE AS sim
+FROM documents l JOIN ({_LINK_RIGHT_SQL}) r
+  ON substr(lower(regexp_replace(l.text, '\\s+', ' ', 'g')), 1, {ER_PREFIX})
+   = substr(lower(regexp_replace(r.text, '\\s+', ' ', 'g')), 1, {ER_PREFIX})
+WHERE 1.0::DOUBLE - levenshtein(l.text, r.text)::DOUBLE
+          / greatest(length(l.text), length(r.text), 1)::DOUBLE
+      >= {ER_TAU}::DOUBLE
+"""
+
+
 def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule-shaped transcript table derived DETERMINISTICALLY
     from the documents parquet (so DuckDB can rebuild the identical
@@ -475,6 +515,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.substring("text_a", 1, 30), F.substring("text_b", 1, 30),
                 k=None, costs=costs,
             ).cast("long").alias("cost"),
+        )
+
+    def rdamerau_natural(spark, sf_dir):
+        # restricted Damerau-Levenshtein (OSA) on NATURAL pairs with a
+        # hard DuckDB oracle: DuckDB's damerau_levenshtein is the
+        # UNRESTRICTED distance, so the oracle instead replays the OSA
+        # recurrence itself as a recursive-CTE DP (same pattern as
+        # edit_costs_natural; the transpose term reads the i-2 row
+        # carried alongside the i-1 row). 30-char prefixes bound the
+        # SQL DP; the planted siblings (rdamerau_planted /
+        # _swapped_planted) keep covering full-length texts.
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        return p.select(
+            "id_a", "id_b",
+            rdamerau(
+                F.substring("text_a", 1, 30), F.substring("text_b", 1, 30)
+            ).cast("long").alias("dist"),
         )
 
     def edit_costs_affine_planted(spark, sf_dir):
@@ -927,6 +984,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cluster_id").cast("long").alias("cluster_id"),
         )
 
+    def er_link_docs(spark, sf_dir):
+        # TWO-TABLE record linkage (match incoming records against a
+        # reference corpus): left = documents; right = a
+        # deterministically perturbed copy of every even doc (one char
+        # deleted at position 40 — past the normalized 12-char blocking
+        # prefix) at id+1,000,000. Prefix blocking + levenshtein
+        # scoring are SQL-expressible, so the full two-table chain
+        # (block -> A x B candidate join -> k-prune -> vectorized
+        # scoring -> threshold) gets a hard hash oracle.
+        from triple_accel_spark.operators.linkage import LinkConfig, link_records
+
+        left = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        right = _link_right_docs(spark, sf_dir)
+        res = link_records(
+            left, right,
+            cfg=LinkConfig(
+                blocking="prefix", prefix_len=ER_PREFIX,
+                sim_threshold=ER_TAU, max_block_pairs=None,
+            ),
+        )
+        out = res.matches.select(
+            F.col("id_l").cast("long").alias("id_l"),
+            F.col("id_r").cast("long").alias("id_r"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("sim"),
+        )
+        return out
+
+    def er_link_best_docs(spark, sf_dir):
+        # the assignment stage: single best left partner per right
+        # record, deterministic tie-break (sim desc, dist asc, id_l
+        # asc) — replayed in DuckDB with the same window ordering
+        from triple_accel_spark.operators.linkage import LinkConfig, link_records
+
+        left = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        right = _link_right_docs(spark, sf_dir)
+        res = link_records(
+            left, right,
+            cfg=LinkConfig(
+                blocking="prefix", prefix_len=ER_PREFIX,
+                sim_threshold=ER_TAU, max_block_pairs=None,
+                best_per="right",
+            ),
+        )
+        return res.best.select(
+            F.col("id_l").cast("long").alias("id_l"),
+            F.col("id_r").cast("long").alias("id_r"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("sim"),
+        )
+
+    def blocking_quality_docs(spark, sf_dir):
+        # the standard blocking diagnostics (pair completeness /
+        # reduction ratio) over the two-table linkage corpus: truth =
+        # the planted (doc, perturbed-doc) pairs, candidates = the
+        # prefix-blocked A x B join — both SQL-expressible, so the
+        # metric row is hash-verified including the ratio arithmetic
+        from triple_accel_spark.operators.linkage import candidate_links
+        from triple_accel_spark.operators.pairs import blocking_quality
+
+        left = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+        right = _link_right_docs(spark, sf_dir)
+        n_l, n_r = left.count(), right.count()
+        bl = with_prefix_blocks(left, "text", prefix_len=ER_PREFIX)
+        br = with_prefix_blocks(right, "text", prefix_len=ER_PREFIX)
+        cand = candidate_links(
+            bl, br, id_col="id", payload_cols=(), max_block_pairs=None
+        )
+        truth = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") % 2 == 0)
+            .select(
+                F.col("doc_id").alias("id_l"),
+                (F.col("doc_id") + 1_000_000).alias("id_r"),
+            )
+        )
+        return blocking_quality(
+            cand, truth, total_possible_pairs=n_l * n_r,
+            id_a="id_l", id_b="id_r",
+        )
+
+    def er_assign_docs(spark, sf_dir):
+        # INCREMENTAL cluster assignment (the batch twin of the
+        # stateful streaming operator): cluster the documents table
+        # with the ER chain, then batch-assign a deterministic set of
+        # NEW records — perturbed copies (must inherit the source
+        # doc's cluster) plus reversed texts (must open singleton
+        # clusters, is_new=true). The whole chain — recursive-CTE
+        # clustering, prefix-block linkage, best-match window,
+        # fallback labeling — replays in DuckDB as a hash oracle.
+        from triple_accel_spark.operators.linkage import (
+            LinkConfig,
+            assign_to_clusters,
+        )
+
+        docs = _docs(spark, sf_dir)
+        matches = _doc_er_matches(spark, sf_dir).where(F.col("is_match"))
+        labels = connected_components(matches.select("id_a", "id_b"))
+        clusters = attach_singletons(labels, docs, "doc_id")
+        clustered = clusters.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        ).join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+        new = _link_right_docs(spark, sf_dir).union(
+            docs.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("id"),
+                F.reverse("text").alias("text"),
+            )
+        )
+        out = assign_to_clusters(
+            clustered, new,
+            cfg=LinkConfig(
+                blocking="prefix", prefix_len=ER_PREFIX,
+                sim_threshold=ER_TAU, max_block_pairs=None,
+            ),
+        )
+        return out.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("matched_id").cast("long").alias("matched_id"),
+            F.col("dist").cast("long").alias("dist"),
+            "sim", "is_new",
+        )
+
     def events_hourly(spark, sf_dir):
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (
@@ -1155,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_costs_adjacent": edit_costs_adjacent,
         "lev_binary_adjacent": lev_binary_adjacent,
         "edit_costs_natural": edit_costs_natural,
+        "rdamerau_natural": rdamerau_natural,
         "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
@@ -1187,6 +1373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_arrow": embedding_dups_arrow,
         "er_matches_docs": er_matches_docs,
         "er_clusters_docs": er_clusters_docs,
+        "er_link_docs": er_link_docs,
+        "er_link_best_docs": er_link_best_docs,
+        "blocking_quality_docs": blocking_quality_docs,
+        "er_assign_docs": er_assign_docs,
         "events_hourly": events_hourly,
         "er_transcripts_clusters": er_transcripts_clusters,
         "er_transcripts_f1": er_transcripts_f1,
@@ -1314,6 +1504,59 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             SELECT id_a, id_b, dpr[(lb + 1)::INT] AS cost FROM dp WHERE i = la
+        """,
+        "rdamerau_natural": f"""
+            -- restricted Damerau-Levenshtein (OSA) replayed as a
+            -- recursive-CTE DP on 30-char prefixes. Each iteration i
+            -- computes DP row i from row i-1 (dpr) AND row i-2 (dpp —
+            -- the transpose term d[i-2][j-2]+1, taken only when
+            -- a[i-1]=b[j-2] and a[i-2]=b[j-1]). The in-row insertion
+            -- recurrence d[i][j] = min(T[j], d[i][j-1]+1) unrolls to
+            -- the same prefix-min identity as edit_costs_natural:
+            -- d[i][j] = j + min_(q<=j)(T[q] - q) for unit costs.
+            WITH RECURSIVE base AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     substr(a.text, 1, 30) AS sa, substr(b.text, 1, 30) AS sb,
+                     length(substr(a.text, 1, 30)) AS la,
+                     length(substr(b.text, 1, 30)) AS lb
+              {_ADJ_SQL}
+            ),
+            dp(id_a, id_b, sa, sb, la, lb, i, dpr, dpp) AS (
+              SELECT id_a, id_b, sa, sb, la, lb, 0,
+                     list_transform(range(0, lb + 1), j -> j),
+                     list_transform(range(0, lb + 1), j -> 1000000000)
+              FROM base
+              UNION ALL
+              SELECT id_a, id_b, sa, sb, la, lb, i + 1,
+                     list_transform(range(1, lb + 2), p ->
+                       (p - 1) + list_min(list_transform(range(1, p + 1),
+                                            q -> tc[q::INT] - (q - 1)))),
+                     dpr
+              FROM (
+                SELECT id_a, id_b, sa, sb, la, lb, i, dpr,
+                       list_transform(range(1, lb + 2), p ->
+                         CASE WHEN p = 1 THEN i + 1
+                              ELSE least(
+                                dpr[p::INT] + 1,
+                                dpr[(p-1)::INT]
+                                  + CASE WHEN substr(sb, (p-1)::INT, 1) = pc
+                                         THEN 0 ELSE 1 END,
+                                CASE WHEN i >= 1 AND p >= 3
+                                          AND pc = substr(sb, (p-2)::INT, 1)
+                                          AND substr(sa, i::INT, 1)
+                                              = substr(sb, (p-1)::INT, 1)
+                                     THEN dpp[(p-2)::INT] + 1
+                                     ELSE 1000000000 END)
+                         END) AS tc
+                FROM (
+                  SELECT id_a, id_b, sa, sb, la, lb, i, dpr, dpp,
+                         substr(sa, (i + 1)::INT, 1) AS pc
+                  FROM dp WHERE i < la
+                )
+              )
+            )
+            SELECT id_a, id_b, dpr[(lb + 1)::INT] AS dist
+            FROM dp WHERE i = la
         """,
         "edit_costs_affine_planted": """
             SELECT doc_id,
@@ -1808,6 +2051,103 @@ def oracle_sql() -> dict[str, str]:
         "er_matches_docs": f"""
             SELECT id_a, id_b, dist, sim, sim >= {ER_TAU} AS is_match
             FROM ({_DOC_ER_PAIR_SQL})
+        """,
+        "er_link_docs": f"""
+            SELECT id_l, id_r, dist, sim FROM ({_LINK_PAIR_SQL})
+        """,
+        "er_link_best_docs": f"""
+            SELECT id_l, id_r, dist, sim FROM (
+              SELECT id_l, id_r, dist, sim,
+                     row_number() OVER (
+                       PARTITION BY id_r
+                       ORDER BY sim DESC, dist ASC, id_l ASC) AS rn
+              FROM ({_LINK_PAIR_SQL})
+            ) WHERE rn = 1
+        """,
+        "blocking_quality_docs": f"""
+            WITH r AS ({_LINK_RIGHT_SQL}),
+            cand AS (
+              SELECT l.doc_id AS id_l, r.id_r
+              FROM documents l JOIN r
+                ON substr(lower(regexp_replace(l.text, '\\s+', ' ', 'g')),
+                          1, {ER_PREFIX})
+                 = substr(lower(regexp_replace(r.text, '\\s+', ' ', 'g')),
+                          1, {ER_PREFIX})
+            ),
+            truth AS (
+              SELECT doc_id AS id_l, doc_id + 1000000 AS id_r
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            c AS (SELECT count(*) AS n_candidates FROM cand),
+            t AS (SELECT count(*) AS n_truth FROM truth),
+            cov AS (
+              SELECT count(*) AS n_covered FROM truth
+              WHERE EXISTS (SELECT 1 FROM cand
+                            WHERE cand.id_l = truth.id_l
+                              AND cand.id_r = truth.id_r)
+            ),
+            tot AS (
+              SELECT (SELECT count(*) FROM documents)
+                     * (SELECT count(*) FROM r) AS tp
+            )
+            SELECT n_candidates, n_truth, n_covered,
+                   n_covered::DOUBLE / greatest(n_truth, 1)::DOUBLE
+                     AS pair_completeness,
+                   1.0::DOUBLE - n_candidates::DOUBLE / tp::DOUBLE
+                     AS reduction_ratio
+            FROM c, t, cov, tot
+        """,
+        "er_assign_docs": f"""
+            WITH RECURSIVE m AS (
+              SELECT id_a, id_b FROM ({_DOC_ER_PAIR_SQL}) WHERE sim >= {ER_TAU}
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            ),
+            clus AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            newdocs AS (
+              SELECT id_r AS id, text FROM ({_LINK_RIGHT_SQL})
+              UNION ALL
+              SELECT doc_id + 2000000, reverse(text)
+              FROM documents WHERE doc_id % 10 = 1
+            ),
+            cand AS (
+              SELECT l.doc_id AS id_l, n.id,
+                     levenshtein(l.text, n.text) AS dist,
+                     1.0::DOUBLE - levenshtein(l.text, n.text)::DOUBLE
+                         / greatest(length(l.text), length(n.text), 1)::DOUBLE
+                       AS sim
+              FROM documents l JOIN newdocs n
+                ON substr(lower(regexp_replace(l.text, '\\s+', ' ', 'g')),
+                          1, {ER_PREFIX})
+                 = substr(lower(regexp_replace(n.text, '\\s+', ' ', 'g')),
+                          1, {ER_PREFIX})
+              WHERE 1.0::DOUBLE - levenshtein(l.text, n.text)::DOUBLE
+                        / greatest(length(l.text), length(n.text), 1)::DOUBLE
+                    >= {ER_TAU}::DOUBLE
+            ),
+            best AS (
+              SELECT id_l, id, dist, sim FROM (
+                SELECT id_l, id, dist, sim,
+                       row_number() OVER (
+                         PARTITION BY id
+                         ORDER BY sim DESC, dist ASC, id_l ASC) AS rn
+                FROM cand
+              ) WHERE rn = 1
+            )
+            SELECT n.id,
+                   coalesce(c.cluster_id, n.id) AS cluster_id,
+                   b.id_l AS matched_id, b.dist, b.sim,
+                   b.id_l IS NULL AS is_new
+            FROM newdocs n
+            LEFT JOIN best b ON b.id = n.id
+            LEFT JOIN clus c ON c.id = b.id_l
         """,
         "er_clusters_docs": f"""
             WITH RECURSIVE m AS (

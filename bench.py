@@ -335,6 +335,33 @@ def main() -> None:
     queries["q7_corpus_cleanse"] = round(sec, 3)
     extra["cleanse_survivors"] = n_clean
 
+    progress("q8")
+    # q8: TWO-TABLE record linkage — match a perturbed copy of half the
+    # corpus back against it (minhash blocking on both sides -> A x B
+    # candidate join with one-sided salting -> per-pair-k scoring ->
+    # best-per-right assignment): the cross-dataset ER shape, end to end
+    from triple_accel_spark.operators.linkage import LinkConfig, link_records
+
+    link_left = sf_docs.select(F.col("doc_id").alias("id"), "text")
+    link_right = sf_docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.concat(
+            F.substring("text", 1, 39), F.expr("substring(text, 41)")
+        ).alias("text"),
+    )
+
+    def linkage():
+        res = link_records(
+            link_left, link_right, cfg=LinkConfig(sim_threshold=0.85)
+        )
+        n = res.best.count()
+        res.unpersist()
+        return n
+
+    sec, n_linked = timed_best2(linkage)
+    queries["q8_linkage"] = round(sec, 3)
+    extra["linked_records"] = n_linked
+
     progress("ann recall")
     # Approximate-ANN recall@k vs the exact baseline, recorded in the
     # artifact with the settings used. Disjoint query/corpus split for

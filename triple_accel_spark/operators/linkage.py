@@ -1,0 +1,329 @@
+"""Two-table record linkage: block -> candidate A x B join -> score ->
+best-match assignment.
+
+The self-join pipeline (``pipeline.resolve_entities``) deduplicates ONE
+table; this module links records ACROSS two tables (the other classic
+entity-resolution shape: match new/incoming records against a reference
+corpus, reconcile two independently-collected datasets). Reference
+parity: the scoring kernels are the same triple_accel edit-distance
+family (levenshtein.rs / hamming.rs); the two-table plumbing is the
+graft axis.
+
+Scale design mirrors ``operators.pairs.candidate_pairs``:
+
+* the block join carries ONLY ``(block, shard, id)`` rows — payloads are
+  re-attached per side after the cross-band dedupe, so the widest
+  payload shuffle is linear in each table's record count, never the
+  candidate-pair count;
+* hot blocks (candidate volume ``|L_b| * |R_b|`` above
+  ``salt_threshold``) are split by deterministically sharding the RIGHT
+  side on ``xxhash64(id) % s`` and replicating LEFT rows across the
+  ``s`` shards — one hot key becomes ``s`` balanced keys and every
+  (left, right) pair still appears exactly once per block. (A two-table
+  join only needs one salted side — unlike the self-join's shard
+  triangle — because there is no canonicalization collapsing mirrored
+  pairs.)
+* blocks whose candidate volume exceeds ``max_block_pairs`` are dropped
+  entirely (an uninformative key; standard ER practice), surfaced in
+  the metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
+from triple_accel_spark.operators.blocking import (
+    with_minhash_blocks,
+    with_prefix_blocks,
+)
+from triple_accel_spark.operators.scoring import relative_k_col, score_pairs
+
+
+def candidate_links(
+    blocked_left: DataFrame,
+    blocked_right: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block_key",
+    payload_cols: tuple[str, ...] = ("text",),
+    max_block_pairs: int | None = 1_000_000,
+    salt_threshold: int = 4096,
+    salt_shards: int = 8,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Join left x right records sharing a block key into candidate
+    links: one row per (left, right) pair — ``id_l, id_r,
+    <payload>_l..., <payload>_r...``.
+
+    Both inputs carry ``id_col``, ``block_col`` and the payload columns
+    (payloads functionally dependent on the id — attributes repeated
+    per band). Ids need not be disjoint across tables: the pair keeps
+    table roles, no cross-table canonicalization.
+
+    Persist lifecycle: the per-side projections (feeding the size
+    census, the join, and the payload re-attach) are persisted and
+    exposed as ``result._persisted_frames`` for callers that
+    materialize the pairs to release.
+    """
+    sides = []
+    persisted = []
+    for side, blocked in (("l", blocked_left), ("r", blocked_right)):
+        base = blocked.select(
+            F.col(id_col).alias("rid"),
+            F.col(block_col).alias("bk"),
+            *[F.col(c) for c in payload_cols],
+        ).persist()
+        persisted.append(base)
+        sides.append(base)
+    left, right = sides
+
+    # per-block candidate volume |L_b| * |R_b|: one aggregation per
+    # side, joined (both frames are (bk, n) — AQE broadcasts them)
+    lsz = left.groupBy("bk").agg(F.count(F.lit(1)).alias("lsz"))
+    rsz = right.groupBy("bk").agg(F.count(F.lit(1)).alias("rsz"))
+    vol = lsz.join(rsz, "bk").select(
+        "bk", (F.col("lsz") * F.col("rsz")).alias("vol")
+    )
+    if max_block_pairs is not None:
+        vol = vol.where(F.col("vol") <= max_block_pairs)
+
+    hot = F.col("vol") > salt_threshold
+    # right role: each record lands in its own shard (hot) or shard 0
+    r = (
+        right.select("rid", "bk")
+        .join(vol, "bk")
+        .select(
+            "bk",
+            F.when(hot, F.pmod(F.xxhash64(F.col("rid")), F.lit(salt_shards)))
+            .otherwise(F.lit(0))
+            .alias("shard"),
+            F.col("rid").alias("rid_r"),
+        )
+    )
+    # left role: replicate across all live shards of the block
+    l = (
+        left.select("rid", "bk")
+        .join(vol, "bk")
+        .select(
+            "bk",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(hot, F.lit(salt_shards - 1)).otherwise(F.lit(0)),
+                )
+            ).alias("shard"),
+            F.col("rid").alias("rid_l"),
+        )
+    )
+    pairs = l.join(r, ["bk", "shard"]).select(
+        F.col("rid_l").alias("id_l"), F.col("rid_r").alias("id_r")
+    )
+    if dedupe:
+        # a pair found by several bands must be scored once
+        pairs = pairs.distinct()
+
+    if payload_cols:
+        pl = left.groupBy("rid").agg(
+            *[F.first(c).alias(c) for c in payload_cols]
+        ).select(
+            F.col("rid").alias("id_l"),
+            *[F.col(c).alias(f"{c}_l") for c in payload_cols],
+        )
+        pr = right.groupBy("rid").agg(
+            *[F.first(c).alias(c) for c in payload_cols]
+        ).select(
+            F.col("rid").alias("id_r"),
+            *[F.col(c).alias(f"{c}_r") for c in payload_cols],
+        )
+        pairs = (
+            pairs.join(pl, "id_l")
+            .join(pr, "id_r")
+            .select(
+                "id_l", "id_r",
+                *[f"{c}_{s}" for c in payload_cols for s in ("l", "r")],
+            )
+        )
+    pairs._persisted_frames = persisted
+    return pairs
+
+
+@dataclass
+class LinkConfig:
+    """Configuration for ``link_records`` (defaults match
+    ``pipeline.ResolveConfig`` where the stages are shared)."""
+
+    q: int = 3
+    num_hashes: int = 32
+    num_bands: int = 16
+    blocking: str = "minhash"  # or "prefix" (SQL-expressible, oracle-able)
+    prefix_len: int = 16
+    sim_threshold: float = 0.88
+    per_pair_k: bool = True
+    costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
+    max_block_pairs: int | None = 1_000_000
+    salt_threshold: int = 4096
+    salt_shards: int = 8
+    # "right": best left partner per right record (match incoming
+    # records against a reference corpus); "left": the converse;
+    # None skips the assignment stage
+    best_per: str | None = "right"
+
+
+@dataclass
+class LinkResult:
+    pairs_scored: DataFrame
+    matches: DataFrame
+    best: DataFrame | None
+    metrics: dict
+
+    def unpersist(self, blocking: bool = True) -> None:
+        self.pairs_scored.unpersist(blocking=blocking)
+
+    def __enter__(self) -> "LinkResult":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.unpersist()
+        return False
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    cfg: LinkConfig | None = None,
+) -> LinkResult:
+    """Link two record tables on fuzzy text similarity.
+
+    Inputs carry ``(id_col, text_col)``; blocking keys are generated
+    identically on both sides (two tables only collide when their keys
+    agree, so the blocking function must be shared). Returns all scored
+    candidate pairs, the pairs at/above ``sim_threshold``, and — when
+    ``cfg.best_per`` is set — the single best partner per record of
+    that side (deterministic: max ``sim``, then min ``dist``, then min
+    partner id), the standard one-to-many assignment for matching
+    incoming records against a reference corpus.
+    """
+    cfg = cfg or LinkConfig()
+    metrics: dict = {}
+
+    def block(df):
+        if cfg.blocking == "prefix":
+            return with_prefix_blocks(df, text_col, prefix_len=cfg.prefix_len)
+        return with_minhash_blocks(
+            df, text_col, q=cfg.q, num_hashes=cfg.num_hashes,
+            num_bands=cfg.num_bands,
+        )
+
+    pairs = candidate_links(
+        block(left),
+        block(right),
+        id_col=id_col,
+        block_col="block_key",
+        payload_cols=(text_col,),
+        max_block_pairs=cfg.max_block_pairs,
+        salt_threshold=cfg.salt_threshold,
+        salt_shards=cfg.salt_shards,
+    )
+    tl, tr = f"{text_col}_l", f"{text_col}_r"
+    k = relative_k_col(cfg.sim_threshold, tl, tr) if cfg.per_pair_k else None
+    scored = score_pairs(
+        pairs, tl, tr, k=k, costs=cfg.costs, sim_threshold=None
+    ).cache()
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("sim") >= cfg.sim_threshold, 1)).alias("m"),
+    ).collect()[0]
+    metrics["n_pairs_scored"] = row["n"]
+    metrics["n_matches"] = row["m"]
+    for fr in getattr(pairs, "_persisted_frames", []):
+        fr.unpersist()
+
+    matches = scored.where(F.col("sim") >= cfg.sim_threshold)
+
+    best = None
+    if cfg.best_per:
+        keep, other = (
+            ("id_r", "id_l") if cfg.best_per == "right" else ("id_l", "id_r")
+        )
+        # groups are candidate lists per record — bounded by the block
+        # cap, so the per-group sort is small; the shuffle is one
+        # hash-partition on the kept id (linear in match count)
+        w = Window.partitionBy(keep).orderBy(
+            F.col("sim").desc(), F.col("dist").asc(), F.col(other).asc()
+        )
+        best = (
+            matches.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return LinkResult(scored, matches, best, metrics)
+
+
+def assign_to_clusters(
+    clustered: DataFrame,
+    new_records: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Incrementally assign NEW records to an EXISTING clustering —
+    the batch twin of ``streaming.stream_assign_clusters``: link each
+    new record against the clustered corpus (blocking + scoring +
+    best-match), inherit the best partner's cluster id above the
+    threshold, and open a singleton cluster (labeled with the record's
+    own id — callers keep id spaces disjoint) otherwise.
+
+    ``clustered`` carries ``(id_col, text_col, cluster_col)`` — every
+    member row, so a new record can match ANY member of a cluster, not
+    only its representative. Returns one row per new record:
+    ``(id, cluster_id, matched_id, dist, sim, is_new)``.
+
+    Like the streaming operator, this is representative-shaped
+    assignment, not a re-resolution: two new records that match each
+    other but no existing cluster become two singletons. When that
+    matters, run ``pipeline.resolve_entities`` on the union instead —
+    incremental assignment is the O(new × corpus-candidates) path for
+    appending to a settled clustering without touching it."""
+    cfg = cfg or LinkConfig(best_per="right")
+    res = link_records(
+        clustered.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        new_records.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        cfg=LinkConfig(
+            q=cfg.q, num_hashes=cfg.num_hashes, num_bands=cfg.num_bands,
+            blocking=cfg.blocking, prefix_len=cfg.prefix_len,
+            sim_threshold=cfg.sim_threshold, per_pair_k=cfg.per_pair_k,
+            costs=cfg.costs, max_block_pairs=cfg.max_block_pairs,
+            salt_threshold=cfg.salt_threshold, salt_shards=cfg.salt_shards,
+            best_per="right",
+        ),
+    )
+    labels = clustered.select(
+        F.col(id_col).alias("id_l"), F.col(cluster_col).alias("_cl")
+    )
+    best = res.best.join(labels, "id_l")
+    out = (
+        new_records.select(F.col(id_col).alias("id"))
+        .join(best.withColumnRenamed("id_r", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_cl"), F.col("id")).alias(cluster_col),
+            F.col("id_l").alias("matched_id"),
+            "dist", "sim",
+            F.col("id_l").isNull().alias("is_new"),
+        )
+    )
+    # the scored cache only backed the best-match computation here:
+    # materialize the (narrow) assignment frame, then release it. The
+    # result's own persist handle is exposed via _persisted_frames,
+    # matching the candidate_pairs/candidate_links convention.
+    out = out.persist()
+    out.count()
+    res.unpersist()
+    out._persisted_frames = [out]
+    return out

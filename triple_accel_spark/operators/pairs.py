@@ -168,3 +168,47 @@ def block_stats(blocked: DataFrame, block_col: str = "block_key") -> DataFrame:
         F.expr("percentile_approx(bsz, 0.99)").alias("p99_block"),
         F.sum(F.expr("bsz * (bsz - 1) / 2")).alias("naive_pairs"),
     )
+
+
+def blocking_quality(
+    cand_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    total_possible_pairs: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Standard blocking diagnostics as one row: **pair completeness**
+    (fraction of ground-truth matching pairs that survive blocking —
+    the recall ceiling of everything downstream) and **reduction
+    ratio** (1 − candidates / total possible pairs — what blocking
+    bought). Tuning blocking IS trading these two; the pipeline's
+    headline F1 cannot exceed the pair completeness measured here.
+
+    Both inputs carry ``(id_a, id_b)`` under the caller's pair
+    convention (canonicalized ``id_a < id_b`` for self-join dedup,
+    table-role order for two-table linkage). ``total_possible_pairs``
+    is ``n(n-1)/2`` or ``|L|·|R|`` respectively — a driver-side scalar
+    the caller already has. One semi-join and two counts; no payloads
+    shuffled."""
+    cand = cand_pairs.select(id_a, id_b)
+    truth = truth_pairs.select(id_a, id_b)
+    covered = truth.join(cand, [id_a, id_b], "left_semi")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(covered.agg(F.count(F.lit(1)).alias("n_covered")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+    )
+    return row.select(
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        (
+            F.col("n_covered").cast("double")
+            / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+        ).alias("pair_completeness"),
+        (
+            F.lit(1.0)
+            - F.col("n_candidates").cast("double")
+            / F.lit(float(max(total_possible_pairs, 1)))
+        ).alias("reduction_ratio"),
+    )
