@@ -133,6 +133,27 @@ def test_link_records_best_deterministic_tiebreak(spark):
         res.unpersist()
 
 
+def test_link_records_minhash_blocking(spark):
+    # the DEFAULT (minhash) blocking path must work on tables whose id
+    # column is not the pipeline's "conv_id" (regression: id_col was
+    # not forwarded to with_minhash_blocks)
+    left = _corpus(spark, 30, hot_block=False)
+    right = left.select(
+        (F.col("id") + 10_000).alias("id"),
+        F.concat(
+            F.substring("text", 1, 12), F.lit("#"), F.expr("substring(text, 14)")
+        ).alias("text"),
+    )
+    res = link_records(
+        left, right, cfg=LinkConfig(sim_threshold=0.8, q=3, num_bands=16)
+    )
+    best = {r.id_r: r.id_l for r in res.best.collect()}
+    assert best, "minhash blocking found no links"
+    for id_r, id_l in best.items():
+        assert id_r - 10_000 == id_l
+    res.unpersist()
+
+
 def test_assign_to_clusters(spark):
     from triple_accel_spark.operators.linkage import assign_to_clusters
 
@@ -186,6 +207,33 @@ def test_blocking_quality(spark):
     assert row.n_covered == 2
     assert abs(row.pair_completeness - 2 / 3) < 1e-12
     assert abs(row.reduction_ratio - (1 - 3 / 30)) < 1e-12
+
+
+def test_link_plan_shape(spark):
+    # the scale-critical plan properties: the cross-band pair dedupe is
+    # an id-only distinct (no payload bytes on the quadratic edge) and
+    # scoring is ONE ArrowEvalPython node
+    import re
+
+    left = _corpus(spark, 60)
+    right = _corpus(spark, 40).select((F.col("id") + 1000).alias("id"), "text")
+    res = link_records(
+        left, right,
+        cfg=LinkConfig(blocking="prefix", prefix_len=4, sim_threshold=0.8),
+    )
+    plan = res.pairs_scored._jdf.queryExecution().executedPlan().toString()
+    # the cached InMemoryRelation prints its child plan alongside the
+    # scan, so count DISTINCT nodes: a genuine double evaluation would
+    # surface as a second node with a fresh result expression id
+    nodes = set(re.findall(r"ArrowEvalPython \[[^\]]*\]", plan))
+    assert len(nodes) == 1
+    assert re.search(
+        r"HashAggregate\(keys=\[id_l#\d+L?, id_r#\d+L?\], functions=\[\]", plan
+    )
+    assert not re.search(
+        r"keys=\[id_l#\d+L?, id_r#\d+L?\], functions=\[\w*first", plan
+    )
+    res.unpersist()
 
 
 def test_link_records_storage_flat(spark):

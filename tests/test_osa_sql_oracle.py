@@ -64,3 +64,32 @@ def test_osa_cte_matches_reference_on_swaps(swap_corpus):
     # the guard is only meaningful if the transpose branch actually won
     # somewhere (OSA strictly below Levenshtein)
     assert transpose_strictly_better >= 4
+
+
+def test_osa_cte_matches_reference_on_random_strings():
+    # dense random coverage on a 2-letter alphabet (maximal transpose
+    # density): the CTE must equal the scalar reference OSA on every
+    # adjacent pair. Deterministic LCG, no external entropy.
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield x
+
+    g = lcg(12345)
+    docs = []
+    for _ in range(40):
+        n = next(g) % 13
+        docs.append("".join("ab"[next(g) % 2] for _ in range(n)))
+    # DuckDB's recursive CTE needs non-empty sb lists (lb >= 0 works:
+    # range(0, 1) = [0]); empty strings are legal inputs
+    sql = entrymod.oracle_sql()["rdamerau_natural"]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(docs))
+    )
+    got = {(r[0], r[1]): r[2] for r in con.sql(sql).fetchall()}
+    for i in range(len(docs) - 1):
+        a, b = docs[i][:30], docs[i + 1][:30]
+        assert got[(i, i + 1)] == _osa(a, b), (a, b, got[(i, i + 1)])

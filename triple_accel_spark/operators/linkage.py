@@ -216,7 +216,7 @@ def link_records(
             return with_prefix_blocks(df, text_col, prefix_len=cfg.prefix_len)
         return with_minhash_blocks(
             df, text_col, q=cfg.q, num_hashes=cfg.num_hashes,
-            num_bands=cfg.num_bands,
+            num_bands=cfg.num_bands, id_col=id_col,
         )
 
     pairs = candidate_links(
