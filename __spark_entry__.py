@@ -1112,6 +1112,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim", "is_new",
         )
 
+    def er_bcubed_docs(spark, sf_dir):
+        # B-cubed cluster evaluation in its exact per-overlap row form
+        # (the global fold is a float sum whose ordering differs across
+        # engines; each row here is int counts + one int/int division,
+        # bit-identical): predicted = the ER chain's clusters, reference
+        # = the normalized-prefix partition — i.e. "how much did
+        # threshold scoring refine blocking", a real diagnostic
+        from triple_accel_spark.operators.scoring import bcubed_rows
+
+        docs = _docs(spark, sf_dir)
+        matches = _doc_er_matches(spark, sf_dir).where(F.col("is_match"))
+        labels = connected_components(matches.select("id_a", "id_b"))
+        pred = attach_singletons(labels, docs, "doc_id").select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        pk = with_prefix_blocks(docs, "text", prefix_len=ER_PREFIX).select(
+            F.col("doc_id").alias("id"), "block_key"
+        )
+        tmin = pk.groupBy("block_key").agg(F.min("id").alias("true_id"))
+        truth = pk.join(tmin, "block_key").select("id", "true_id")
+        return bcubed_rows(pred, truth).select(
+            "cluster_id", "true_id", "n_ct", "n_c", "n_t",
+            "p_contrib", "r_contrib",
+        )
+
     def events_hourly(spark, sf_dir):
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (
@@ -1377,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_link_best_docs": er_link_best_docs,
         "blocking_quality_docs": blocking_quality_docs,
         "er_assign_docs": er_assign_docs,
+        "er_bcubed_docs": er_bcubed_docs,
         "events_hourly": events_hourly,
         "er_transcripts_clusters": er_transcripts_clusters,
         "er_transcripts_f1": er_transcripts_f1,
@@ -2148,6 +2175,42 @@ def oracle_sql() -> dict[str, str]:
             FROM newdocs n
             LEFT JOIN best b ON b.id = n.id
             LEFT JOIN clus c ON c.id = b.id_l
+        """,
+        "er_bcubed_docs": f"""
+            WITH RECURSIVE m AS (
+              SELECT id_a, id_b FROM ({_DOC_ER_PAIR_SQL}) WHERE sim >= {ER_TAU}
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+            ),
+            pred AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+            pk AS (
+              SELECT doc_id AS id,
+                     substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                            1, {ER_PREFIX}) AS k
+              FROM documents
+            ),
+            truth AS (
+              SELECT id, min(id) OVER (PARTITION BY k) AS tid FROM pk
+            ),
+            j AS (
+              SELECT pred.cid, truth.tid
+              FROM pred JOIN truth ON pred.id = truth.id
+            ),
+            ct AS (SELECT cid, tid, count(*) AS n_ct FROM j GROUP BY cid, tid),
+            c AS (SELECT cid, count(*) AS n_c FROM j GROUP BY cid),
+            t AS (SELECT tid, count(*) AS n_t FROM j GROUP BY tid)
+            SELECT ct.cid AS cluster_id, ct.tid AS true_id,
+                   ct.n_ct, c.n_c, t.n_t,
+                   ct.n_ct::DOUBLE / c.n_c::DOUBLE AS p_contrib,
+                   ct.n_ct::DOUBLE / t.n_t::DOUBLE AS r_contrib
+            FROM ct JOIN c ON ct.cid = c.cid JOIN t ON ct.tid = t.tid
         """,
         "er_clusters_docs": f"""
             WITH RECURSIVE m AS (

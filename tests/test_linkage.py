@@ -192,6 +192,67 @@ def test_assign_to_clusters(spark):
         fr.unpersist()
 
 
+def test_assign_matches_full_reresolution(spark):
+    # the docstring's semantic claim: on a representative-shaped corpus
+    # (each new record within threshold of exactly ONE canonical,
+    # canonicals mutually far) incremental assignment equals running
+    # the full block->pair->score->CC chain on the union
+    from triple_accel_spark.operators.blocking import with_prefix_blocks
+    from triple_accel_spark.operators.clustering import (
+        attach_singletons,
+        local_connected_components,
+    )
+    from triple_accel_spark.operators.linkage import assign_to_clusters
+    from triple_accel_spark.operators.pairs import candidate_pairs
+    from triple_accel_spark.operators.scoring import score_pairs
+
+    tau = 0.85
+    canon = [
+        (i, f"K{i:03d} canonical entity record with stable payload {i:04d}")
+        for i in range(20)
+    ]
+    clustered = spark.createDataFrame(
+        [(i, t, i) for i, t in canon], "id long, text string, cluster_id long"
+    )
+    new = spark.createDataFrame(
+        [
+            (1000 + i, t[:20] + "#" + t[21:])  # 1 sub, within tau
+            for i, t in canon
+        ]
+        + [(2000, "ZZZZ completely unrelated text that matches nothing")],
+        "id long, text string",
+    )
+    got = assign_to_clusters(
+        clustered, new,
+        cfg=LinkConfig(blocking="prefix", prefix_len=4, sim_threshold=tau),
+    )
+    inc = {
+        frozenset([r.id, r.cluster_id]) if not r.is_new else frozenset([r.id])
+        for r in got.collect()
+    }
+
+    union = clustered.select("id", "text").union(new)
+    blocked = with_prefix_blocks(union, "text", prefix_len=4)
+    pairs = candidate_pairs(
+        blocked, id_col="id", block_col="block_key", payload_cols=("text",),
+        max_block_size=None,
+    )
+    scored = score_pairs(pairs, "text_a", "text_b", k=30, sim_threshold=tau)
+    labels = local_connected_components(scored.select("id_a", "id_b"))
+    clusters = attach_singletons(labels, union, "id")
+    full = {}
+    for r in clusters.collect():
+        full.setdefault(r.cluster_id, set()).add(r.id)
+    # compare only clusters containing a NEW record: the incremental
+    # view labels new records; canonicals keep their clusters
+    full_parts = {frozenset(v) for v in full.values() if v - set(range(20))}
+    assert inc == full_parts
+    for fr in getattr(got, "_persisted_frames", []):
+        fr.unpersist()
+    for fr in getattr(pairs, "_persisted_frames", []):
+        fr.unpersist()
+
+
 def test_blocking_quality(spark):
     from triple_accel_spark.operators.pairs import blocking_quality
 

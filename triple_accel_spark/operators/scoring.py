@@ -94,3 +94,87 @@ def pairwise_f1(
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}
+
+
+def bcubed_rows(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster_id",
+    true_col: str = "true_id",
+) -> DataFrame:
+    """B-cubed (B³) evaluation in its exact per-overlap form: one row
+    per (predicted cluster, true cluster) overlap with the integer
+    counts ``n_ct`` (records in both), ``n_c`` (predicted cluster
+    size), ``n_t`` (true cluster size) and the per-record contribution
+    ratios ``p_contrib = n_ct/n_c``, ``r_contrib = n_ct/n_t``. B³
+    precision is ``Σ n_ct·p_contrib / N`` and B³ recall ``Σ
+    n_ct·r_contrib / N`` (Bagga & Baldwin 1998) — ``bcubed`` folds
+    these; this row form keeps every ratio a single int/int division
+    (deterministic bit-for-bit across engines, unlike a float sum).
+
+    Shape at scale: one equi-join on the record id and three
+    map-side-combinable aggregations; the output is bounded by the
+    number of overlapping cluster pairs, not records."""
+    from pyspark.sql import Window
+
+    joined = (
+        predicted.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            truth.select(F.col(id_col).alias("_id"), F.col(true_col).alias("_t")),
+            "_id",
+        )
+    )
+    # every record contributes to exactly one (c, t) overlap, so the
+    # side totals are row sums OVER the overlap frame — windows keep
+    # the (possibly expensive) upstream lineage single-evaluation,
+    # where three independent aggregations of `joined` would run the
+    # predicted-clustering plan three times
+    ct = joined.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("n_ct"))
+    ct = ct.withColumn(
+        "n_c", F.sum("n_ct").over(Window.partitionBy("_c"))
+    ).withColumn("n_t", F.sum("n_ct").over(Window.partitionBy("_t")))
+    return (
+        ct.select(
+            F.col("_c").alias(pred_col),
+            F.col("_t").alias(true_col),
+            F.col("n_ct").cast("long").alias("n_ct"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.col("n_t").cast("long").alias("n_t"),
+            (F.col("n_ct").cast("double") / F.col("n_c").cast("double")).alias(
+                "p_contrib"
+            ),
+            (F.col("n_ct").cast("double") / F.col("n_t").cast("double")).alias(
+                "r_contrib"
+            ),
+        )
+    )
+
+
+def bcubed(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster_id",
+    true_col: str = "true_id",
+) -> dict:
+    """Global B³ precision / recall / F1 over a predicted clustering vs
+    a reference partition (records present in both sides only). The
+    cluster-level complement to ``pairwise_f1``: pairwise counts weigh
+    big clusters quadratically, B³ weighs every RECORD equally."""
+    rows = bcubed_rows(predicted, truth, id_col, pred_col, true_col)
+    agg = rows.agg(
+        F.sum("n_ct").alias("n"),
+        F.sum(F.col("n_ct") * F.col("p_contrib")).alias("sp"),
+        F.sum(F.col("n_ct") * F.col("r_contrib")).alias("sr"),
+    ).collect()[0]
+    n = agg["n"] or 0
+    prec = (agg["sp"] or 0.0) / n if n else 0.0
+    rec = (agg["sr"] or 0.0) / n if n else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "n_records": n,
+        "bcubed_precision": prec,
+        "bcubed_recall": rec,
+        "bcubed_f1": f1,
+    }
