@@ -53,6 +53,9 @@ def candidate_links(
     salt_threshold: int = 4096,
     salt_shards: int = 8,
     dedupe: bool = True,
+    prune_threshold: float | None = None,
+    prune_text_col: str | None = None,
+    prune_costs: EditCosts = LEVENSHTEIN_COSTS,
 ) -> DataFrame:
     """Join left x right records sharing a block key into candidate
     links: one row per (left, right) pair — ``id_l, id_r,
@@ -63,19 +66,35 @@ def candidate_links(
     per band). Ids need not be disjoint across tables: the pair keeps
     table roles, no cross-table canonicalization.
 
+    Early length prune (``prune_threshold`` + ``prune_text_col``): a
+    pair can only reach similarity ``t`` on column ``c`` if
+    ``gap_cost * |len_l - len_r| + start_gap <= (1-t) *
+    greatest(len_l, len_r)`` — exactly the bound
+    ``scoring.score_pairs`` applies via ``length_prefilter`` +
+    ``relative_k_col``, so pruning here changes nothing downstream
+    when the caller scores with a per-pair relative k. Applying it on
+    fixed-width length ints BEFORE the cross-band dedupe and the
+    payload re-attach keeps length-incompatible pairs (the bulk of LSH
+    false candidates on a mixed-length corpus) out of the distinct
+    shuffle and the payload joins entirely.
+
     Persist lifecycle: the per-side projections (feeding the size
     census, the join, and the payload re-attach) are persisted and
     exposed as ``result._persisted_frames`` for callers that
     materialize the pairs to release.
     """
+    prune = prune_threshold is not None and prune_text_col is not None
     sides = []
     persisted = []
     for side, blocked in (("l", blocked_left), ("r", blocked_right)):
-        base = blocked.select(
+        cols = [
             F.col(id_col).alias("rid"),
             F.col(block_col).alias("bk"),
             *[F.col(c) for c in payload_cols],
-        ).persist()
+        ]
+        if prune:
+            cols.append(F.length(prune_text_col).alias("_len"))
+        base = blocked.select(*cols).persist()
         persisted.append(base)
         sides.append(base)
     left, right = sides
@@ -91,9 +110,10 @@ def candidate_links(
         vol = vol.where(F.col("vol") <= max_block_pairs)
 
     hot = F.col("vol") > salt_threshold
+    lens = ["_len"] if prune else []
     # right role: each record lands in its own shard (hot) or shard 0
     r = (
-        right.select("rid", "bk")
+        right.select("rid", "bk", *lens)
         .join(vol, "bk")
         .select(
             "bk",
@@ -101,11 +121,12 @@ def candidate_links(
             .otherwise(F.lit(0))
             .alias("shard"),
             F.col("rid").alias("rid_r"),
+            *[F.col(c).alias(f"{c}_r") for c in lens],
         )
     )
     # left role: replicate across all live shards of the block
     l = (
-        left.select("rid", "bk")
+        left.select("rid", "bk", *lens)
         .join(vol, "bk")
         .select(
             "bk",
@@ -116,9 +137,27 @@ def candidate_links(
                 )
             ).alias("shard"),
             F.col("rid").alias("rid_l"),
+            *[F.col(c).alias(f"{c}_l") for c in lens],
         )
     )
-    pairs = l.join(r, ["bk", "shard"]).select(
+    joined = l.join(r, ["bk", "shard"])
+    if prune:
+        # same bound as scoring's length_prefilter(relative_k_col(t)),
+        # on the precomputed ints: prune BEFORE dedupe + payload joins
+        k_pair = F.ceil(
+            F.lit(1.0 - prune_threshold)
+            * F.greatest(F.col("_len_l"), F.col("_len_r"), F.lit(1)).cast(
+                "double"
+            )
+        ).cast("int")
+        unit_k = F.floor(
+            F.greatest(k_pair - F.lit(prune_costs.start_gap_cost), F.lit(0))
+            / F.lit(prune_costs.gap_cost)
+        )
+        joined = joined.where(
+            F.abs(F.col("_len_l") - F.col("_len_r")) <= unit_k
+        )
+    pairs = joined.select(
         F.col("rid_l").alias("id_l"), F.col("rid_r").alias("id_r")
     )
     if dedupe:
@@ -228,6 +267,13 @@ def link_records(
         max_block_pairs=cfg.max_block_pairs,
         salt_threshold=cfg.salt_threshold,
         salt_shards=cfg.salt_shards,
+        # with per-pair k the scoring stage filters on exactly this
+        # bound anyway (length_prefilter + relative_k_col), so the
+        # early prune is a pure plan optimization; without per-pair k
+        # the caller wants every candidate scored — skip it
+        prune_threshold=cfg.sim_threshold if cfg.per_pair_k else None,
+        prune_text_col=text_col if cfg.per_pair_k else None,
+        prune_costs=cfg.costs,
     )
     tl, tr = f"{text_col}_l", f"{text_col}_r"
     k = relative_k_col(cfg.sim_threshold, tl, tr) if cfg.per_pair_k else None
