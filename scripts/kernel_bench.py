@@ -66,6 +66,16 @@ def main() -> None:
 
     out["myers_unit"] = bench(lambda: myers_batch(a, b), N_PAIRS)
     out["myers_banded_k"] = bench(lambda: myers_batch(a, b, k=k), N_PAIRS)
+    # anagram pairs: b is a per-row shuffle of a — identical histograms,
+    # so the bag-bound prefilter can never reject; isolates the banded
+    # DP itself on reject-heavy input (true distance ~0.6*len >> k)
+    anag = [
+        bytes(rng.permutation(np.frombuffer(s, dtype=np.uint8)).tobytes())
+        for s in a
+    ]
+    out["myers_banded_k_anagram"] = bench(
+        lambda: myers_batch(a, anag, k=k), N_PAIRS
+    )
     out["banded_generalized"] = bench(
         lambda: lev_batch(a, b, k, EditCosts(2, 3, 1)), N_PAIRS
     )

@@ -94,7 +94,10 @@ def test_myers_batch_k_none():
     # levenshtein_simd_k(b"abcde", b"hello", 1) == None (basic_tests.rs:539-542)
     dist, ok = myers_batch([b"abcde"], [b"hello"], k=1)
     assert not ok[0]
-    assert dist[0] == 5  # true distance still reported
+    # contract: dist is a sentinel above k when invalid (reference
+    # returns None); the bag-bound prefilter may report k+1, not the
+    # true distance
+    assert dist[0] > 1
 
 
 def test_lev_batch_trace_goldens():

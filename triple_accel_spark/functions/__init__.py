@@ -33,6 +33,7 @@ from triple_accel_spark.kernels.costs import (
     LEVENSHTEIN_COSTS,
     RDAMERAU_COSTS,
 )
+from triple_accel_spark.kernels.encode import bag_lower_bound as _bag_lower_bound
 from triple_accel_spark.kernels.hamming import hamming_batch, hamming_search_batch
 from triple_accel_spark.kernels.myers import myers_batch
 from triple_accel_spark.kernels.search import lev_search_batch
@@ -110,25 +111,6 @@ _EXP_START_K = 30  # the reference's levenshtein_exp first attempt
 # resolve in the first 1-word band at ~3x full throughput.
 
 
-def _bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
-    """Levenshtein lower bound from character histograms: every edit
-    changes the combined histogram L1 by at most 2, so
-    ``dist >= L1/2`` (and >= length difference). O(total chars)."""
-    n = a_mat.shape[0]
-    rows_a = np.repeat(np.arange(n), a_len)
-    rows_b = np.repeat(np.arange(n), b_len)
-    mask_a = np.arange(a_mat.shape[1])[None, :] < a_len[:, None]
-    mask_b = np.arange(b_mat.shape[1])[None, :] < b_len[:, None]
-    # bincount over combined (row, char) keys — much faster than the
-    # equivalent np.add.at scatter
-    keys_a = (rows_a << 8) | a_mat[mask_a]
-    keys_b = (rows_b << 8) | b_mat[mask_b]
-    ha = np.bincount(keys_a, minlength=n << 8).astype(np.int64)
-    hb = np.bincount(keys_b, minlength=n << 8)
-    l1 = np.abs(ha - hb).reshape(n, 256).sum(axis=1)
-    return np.maximum((l1 + 1) // 2, np.abs(a_len - b_len))
-
-
 def _myers_exp(ca, cb, max_len: int):
     """Exact unit-cost distance via adaptive banding: rows whose cheap
     histogram lower bound permits a small distance try a narrow band
@@ -149,9 +131,10 @@ def _myers_exp(ca, cb, max_len: int):
     ok_out = np.zeros(n, dtype=bool)
     narrow = np.nonzero(valid & (lb <= _EXP_START_K))[0]
     if narrow.size:
+        # narrow rows already satisfy lb <= k; skip the in-kernel bound
         d, ok = myers_batch_encoded(
             a_mat[narrow], a_len[narrow], b_mat[narrow], b_len[narrow],
-            valid[narrow], _EXP_START_K,
+            valid[narrow], _EXP_START_K, prefilter=False,
         )
         d_out[narrow[ok]] = d[ok]
         ok_out[narrow[ok]] = True

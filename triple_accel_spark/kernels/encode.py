@@ -91,6 +91,29 @@ def translate_batch(
     return a_mat, a_len, b_mat, b_len, valid
 
 
+def bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Unit-cost edit-distance lower bound from character histograms:
+    every substitution/insert/delete changes the combined histogram L1
+    by at most 2 (and a transposition by 0), so the number of
+    non-transposition ops is ``>= L1/2``; combined with the length
+    difference this bounds the distance from below. O(total chars) via
+    one bincount over packed (row, char) keys."""
+    n = a_mat.shape[0]
+    offsets = np.arange(n, dtype=np.int64) << 8
+    # histogram the full padded matrices (no per-row masks), then
+    # correct bin 0 for the padding bytes — one bincount per side
+    ka = a_mat.astype(np.int64)
+    ka += offsets[:, None]
+    ha = np.bincount(ka.reshape(-1), minlength=n << 8)
+    ha[offsets] -= a_mat.shape[1] - a_len
+    kb = b_mat.astype(np.int64)
+    kb += offsets[:, None]
+    hb = np.bincount(kb.reshape(-1), minlength=n << 8)
+    hb[offsets] -= b_mat.shape[1] - b_len
+    l1 = np.abs(ha - hb).reshape(n, 256).sum(axis=1)
+    return np.maximum((l1 + 1) // 2, np.abs(a_len - b_len))
+
+
 def encode_batch(rows: Sequence) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Encode a batch into ``(mat, lengths, valid)``.
 
@@ -102,12 +125,16 @@ def encode_batch(rows: Sequence) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = len(blist)
     lengths = np.fromiter((len(b) for b in blist), dtype=np.int64, count=n)
     max_len = int(lengths.max()) if n else 0
-    mat = np.zeros((n, max(max_len, 1)), dtype=np.uint8)
     if n == 0 or max_len == 0:
-        return mat, lengths, valid
-    flat = np.frombuffer(b"".join(blist), dtype=np.uint8)
-    row_idx = np.repeat(np.arange(n), lengths)
-    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    col_idx = np.arange(lengths.sum()) - np.repeat(starts, lengths)
-    mat[row_idx, col_idx] = flat
+        return np.zeros((n, max(max_len, 1)), dtype=np.uint8), lengths, valid
+    # pad each row to max_len and reinterpret the joined buffer as the
+    # matrix — one C-level memcpy per row beats a 1M-element fancy
+    # scatter by ~3x on typical batches
+    mat = (
+        np.frombuffer(
+            b"".join(s.ljust(max_len, b"\0") for s in blist), dtype=np.uint8
+        )
+        .reshape(n, max_len)
+        .copy()  # frombuffer is read-only; kernels expect writable
+    )
     return mat, lengths, valid

@@ -22,11 +22,13 @@ from typing import Sequence
 
 import numpy as np
 
-from triple_accel_spark.kernels.encode import encode_batch
+from triple_accel_spark.kernels.encode import bag_lower_bound, encode_batch
 
 _ONES = np.uint64(0xFFFFFFFFFFFFFFFF)
 _ONE = np.uint64(1)
 _SHIFT63 = np.uint64(63)
+
+_ABANDON_CHECK = 32  # banded-mode early-abandon check interval (positions)
 
 _M1 = np.uint64(0x5555555555555555)
 _M2 = np.uint64(0x3333333333333333)
@@ -137,6 +139,7 @@ def myers_batch_encoded(
     b_len: np.ndarray,
     valid: np.ndarray,
     k: int | np.ndarray | None = None,
+    prefilter: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Kernel core over pre-encoded batches (see ``encode_batch``).
 
@@ -145,10 +148,39 @@ def myers_batch_encoded(
     positions; inner constant-size loop over the (few) 64-bit words.
     Rows are processed sorted by text length so finished pairs drop out
     of the working arrays (a shrinking active suffix, not a mask).
+
+    k-bounded calls first reject rows whose histogram lower bound
+    (``bag_lower_bound``) already exceeds k — O(chars) per row versus
+    O(chars * band) for the DP, which on reject-heavy candidate-pair
+    workloads (the ER hot path: most pairs are far apart) skips the DP
+    for the bulk of the batch. Callers that know the bound cannot fire
+    (e.g. rows pre-split by the same bound) pass ``prefilter=False``.
     """
     n = a_mat.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+
+    if k is not None and prefilter:
+        karr = (
+            k.astype(np.int64)
+            if isinstance(k, np.ndarray)
+            else np.full(n, int(k), dtype=np.int64)
+        )
+        lb = bag_lower_bound(a_mat, a_len, b_mat, b_len)
+        reject = valid & (lb > karr)
+        if reject.any():
+            keep = np.nonzero(~reject)[0]
+            kk = karr[keep] if isinstance(k, np.ndarray) else k
+            d_in, ok_in = myers_batch_encoded(
+                a_mat[keep], a_len[keep], b_mat[keep], b_len[keep],
+                valid[keep], kk, prefilter=False,
+            )
+            # rejected rows: proven dist > k -> invalid, sentinel above k
+            dist = np.where(valid, karr + 1, np.int64(-1))
+            ok = np.zeros(n, dtype=bool)
+            dist[keep] = d_in
+            ok[keep] = ok_in
+            return dist, ok
 
     a_mat, a_len, b_mat, b_len = _trim_common(a_mat, a_len, b_mat, b_len)
 
@@ -187,7 +219,10 @@ def myers_batch_encoded(
         # the chunk's live bytes to 0..sigma so the table shrinks from
         # 256 columns to sigma+1 (ASCII corpora: ~95)
         lut = np.zeros(256, dtype=np.uint8)
-        present = np.union1d(np.unique(a_mat), np.unique(b_mat))
+        seen = np.zeros(256, dtype=bool)
+        seen[a_mat.reshape(-1)] = True
+        seen[b_mat.reshape(-1)] = True
+        present = np.flatnonzero(seen)
         lut[present] = np.arange(len(present), dtype=np.uint8)
         a_mat = lut[a_mat]
         b_mat = lut[b_mat]
@@ -231,12 +266,14 @@ def myers_batch_encoded(
         bb1 = np.empty(n, dtype=bool)
         fidx = np.empty(n, dtype=np.int64)
 
-        def step(i: int, lo: int, wlo: int, whi: int, capture_hi: bool):
-            """One text position over the active suffix [lo:), words
+        def step(
+            i: int, lo: int, wlo: int, whi: int, capture_hi: bool, hi: int = n
+        ):
+            """One text position over the active rows [lo, hi), words
             [wlo, whi]. Returns final (hp_carry, hn_carry) out of word
             ``whi`` — the horizontal delta at that word's bottom row."""
-            m = n - lo
-            sl = slice(lo, n)
+            m = hi - lo
+            sl = slice(lo, hi)
             fi = fidx[:m]
             np.multiply(row_ar[sl], sigma, out=fi)
             fi += bT[i, sl]
@@ -317,6 +354,19 @@ def myers_batch_encoded(
                 np.int64(64) * np.int64(whi_cur + 1), a_len
             ).astype(np.int64)
             len_bad = (b_len - a_len) > kmax
+            # early abandonment (the published edlib strategy adapted to
+            # the batch axis): every _ABANDON_CHECK positions, recover
+            # the exact in-band cell on each row's FINAL diagonal
+            # (j = a_len - (b_len - t)) via the same vp/vn popcount
+            # telescoping retire() uses. D is non-decreasing along a
+            # diagonal, so that cell > k proves the final distance > k;
+            # proven rows get the sentinel and are compacted out of the
+            # working arrays so later steps do no work for them.
+            pos = np.arange(n)  # compacted index -> sorted-order row
+            k_sorted = (
+                k.astype(np.int64)[order] if isinstance(k, np.ndarray) else None
+            )
+            n_act = n
 
             def retire(r0: int, r1: int, whi_r: int) -> None:
                 """Convert bottom-of-window scores to pattern-end cells
@@ -349,19 +399,21 @@ def myers_batch_encoded(
                             above, _popcnt64(vpw) - _popcnt64(vnw), 0
                         )
                 res = bscore[sl_r] - corr
-                score[sl_r] = np.where(
+                tgt = pos[sl_r]
+                score[tgt] = np.where(
                     empty_pat[sl_r],
-                    score[sl_r],
+                    score[tgt],
                     np.where(len_bad[sl_r], np.int64(kmax + 1), res),
                 )
 
             lo = 0
+            i_chk = _ABANDON_CHECK
             for i in range(n_max):
                 lo_new = int(np.searchsorted(b_len, i, side="right"))
                 if lo_new > lo:
                     retire(lo, lo_new, whi_cur)
                     lo = lo_new
-                if lo >= n:
+                if lo >= n_act:
                     break
                 wlo = max(0, (i - kmax) >> 6)
                 whi = min(words - 1, (i + kmax) >> 6)
@@ -373,12 +425,69 @@ def myers_batch_encoded(
                             vn[W, lo:]
                         )
                     whi_cur = whi
-                hpc, hnc = step(i, lo, wlo, whi, capture_hi=False)
-                dd = d64[: n - lo]
+                hpc, hnc = step(i, lo, wlo, whi, False, n_act)
+                dd = d64[: n_act - lo]
                 np.copyto(dd, hpc, casting="unsafe")
                 dd -= hnc.view(np.int64)
                 bscore[lo:] += dd
-            retire(lo, n, whi_cur)
+
+                if i >= i_chk:
+                    i_chk = i + _ABANDON_CHECK
+                    t = i + 1  # D-matrix text row after this step
+                    sl = slice(lo, n_act)
+                    j_d = a_len[sl] - (b_len[sl] - t)
+                    # clamped rows (j_d<0, only while t < b_len-a_len
+                    # <= kmax, so cell (t,0) is still in-band/exact):
+                    # walking off-diagonal loses at most 1 per step
+                    slack = np.maximum(-j_d, 0)
+                    np.maximum(j_d, 0, out=j_d)
+                    jw = j_d >> 6
+                    jb = (j_d & 63).astype(np.uint64)
+                    corr = np.zeros(n_act - lo, dtype=np.int64)
+                    for W in range(int(jw.min()), whi_cur + 1):
+                        vpw = vp[W, sl]
+                        vnw = vn[W, sl]
+                        at = jw == W
+                        if at.any():
+                            mask = _ONES << jb
+                            corr += np.where(
+                                at,
+                                _popcnt64(vpw & mask) - _popcnt64(vnw & mask),
+                                0,
+                            )
+                        above = jw < W
+                        if above.any():
+                            corr += np.where(
+                                above, _popcnt64(vpw) - _popcnt64(vnw), 0
+                            )
+                    est = bscore[sl] - corr
+                    thr = k_sorted[sl] if k_sorted is not None else kmax
+                    bad = (est - slack > thr) & ~empty_pat[sl]
+                    nbad = int(bad.sum())
+                    # compact only when enough rows die to repay the
+                    # copy (the peq slice is the expensive part)
+                    if nbad >= 32 and nbad * 8 >= (n_act - lo):
+                        score[pos[sl][bad]] = np.int64(kmax + 1)
+                        keep_abs = lo + np.nonzero(~bad)[0]
+                        a_len = a_len[keep_abs]
+                        b_len = b_len[keep_abs]
+                        bscore = bscore[keep_abs]
+                        len_bad = len_bad[keep_abs]
+                        empty_pat = empty_pat[keep_abs]
+                        hi_word = hi_word[keep_abs]
+                        hi_bit = hi_bit[keep_abs]
+                        pos = pos[keep_abs]
+                        if k_sorted is not None:
+                            k_sorted = k_sorted[keep_abs]
+                        vp = vp[:, keep_abs]
+                        vn = vn[:, keep_abs]
+                        peq = np.ascontiguousarray(peq[:, keep_abs, :])
+                        bT = np.ascontiguousarray(bT[:, keep_abs])
+                        lo = 0
+                        n_act = keep_abs.size
+                        if n_act == 0:
+                            break
+            retire(lo, n_act, whi_cur)
         else:
             for i in range(n_max):
                 # retire rows whose text is exhausted (b_len <= i):
