@@ -79,6 +79,9 @@ def main() -> None:
     out["banded_generalized"] = bench(
         lambda: lev_batch(a, b, k, EditCosts(2, 3, 1)), N_PAIRS
     )
+    out["banded_generalized_anagram"] = bench(
+        lambda: lev_batch(a, anag, k, EditCosts(2, 3, 1)), N_PAIRS
+    )
     out["banded_unit"] = bench(
         lambda: lev_batch(a, b, k, LEVENSHTEIN_COSTS), N_PAIRS
     )

@@ -35,7 +35,7 @@ from typing import Sequence
 import numpy as np
 
 from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
-from triple_accel_spark.kernels.encode import encode_batch
+from triple_accel_spark.kernels.encode import bag_l1, encode_batch
 
 INF = np.int64(1) << np.int64(40)
 
@@ -66,6 +66,46 @@ def lev_batch(
             np.zeros(0, dtype=bool),
             [] if trace else None,
         )
+
+    # histogram prefilter for k-bounded non-trace calls: each sub
+    # reduces the histogram L1 by <= 2 at cost `mismatch`, each indel
+    # by <= 1 at cost >= `gap`, a transposition by 0 — so
+    # cost >= L1 * min(mismatch, 2*gap) / 2; independently the length
+    # difference needs |dl| gap extensions plus one gap open. Rows the
+    # bound already proves > k skip the O(len^2/band) DP entirely
+    # (reject-heavy candidate workloads are the common case).
+    sel = None
+    full = None
+    if k is not None and not trace:
+        karr = (
+            k.astype(np.int64)
+            if isinstance(k, np.ndarray)
+            else np.full(n, int(k), dtype=np.int64)
+        )
+        m2g = min(int(costs.mismatch_cost), 2 * int(costs.gap_cost))
+        dl = np.abs(a_len - b_len)
+        lb = np.maximum(
+            (bag_l1(a_mat, a_len, b_mat, b_len) * m2g + 1) // 2,
+            dl * int(costs.gap_cost)
+            + np.where(dl > 0, int(costs.start_gap_cost), 0),
+        )
+        reject = valid_in & (lb > karr)
+        if reject.any():
+            # dist for rejected rows: sentinel above k (contract: never
+            # read dist without checking valid)
+            full = (
+                np.where(valid_in, karr + 1, np.int64(-1)),
+                np.zeros(n, dtype=bool),
+            )
+            sel = np.nonzero(~reject)[0]
+            if sel.size == 0:
+                return full[0], full[1], None
+            a_mat, a_len = a_mat[sel], a_len[sel]
+            b_mat, b_len = b_mat[sel], b_len[sel]
+            valid_in = valid_in[sel]
+            if isinstance(k, np.ndarray):
+                k = k[sel]
+            n = sel.size
 
     # per-row swap so the "pattern" (outer loop) is the shorter string
     swap = a_len > b_len
@@ -192,6 +232,21 @@ def lev_batch(
 
         dp0, dp1 = dp1, np.where(live[:, None], dp2, dp1)
 
+        if uk is not None and (i & 15) == 15:
+            # Ukkonen early stop: any <=k path visits row i or i-1 (a
+            # transpose can jump one row) inside its band; if both
+            # rows' band minima exceed k the pair is proven > k. The
+            # union window is conservative for each row — stale
+            # neighbours can only under-estimate the minimum (safe).
+            lo2 = max(0, i - 1 - uk)
+            wmin = np.minimum(
+                dp1[:, lo2:hi].min(axis=1), dp0[:, lo2:hi].min(axis=1)
+            )
+            dead = live & (wmin > kmax)
+            if dead.any():
+                # drop from the live set; result stays -1 -> invalid
+                p_len = np.where(dead, np.int64(0), p_len)
+
     if uk is not None:
         # outside-band extraction is undefined: a pair whose length
         # difference exceeds the band cannot cost <= k (reference's
@@ -202,6 +257,12 @@ def lev_batch(
     if k is not None:
         valid &= (result <= k) & (result >= 0)
     dist = np.where(valid_in, result, -1)
+
+    if sel is not None:
+        fd, fv = full
+        fd[sel] = dist
+        fv[sel] = valid
+        return fd, fv, None
 
     traces: list[list[tuple[str, int]] | None] | None = None
     if trace:

@@ -91,13 +91,12 @@ def translate_batch(
     return a_mat, a_len, b_mat, b_len, valid
 
 
-def bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
-    """Unit-cost edit-distance lower bound from character histograms:
-    every substitution/insert/delete changes the combined histogram L1
-    by at most 2 (and a transposition by 0), so the number of
-    non-transposition ops is ``>= L1/2``; combined with the length
-    difference this bounds the distance from below. O(total chars) via
-    one bincount over packed (row, char) keys."""
+def bag_l1(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Per-row L1 distance between the two sides' character histograms.
+    O(total chars) via one bincount per side over packed (row, char)
+    keys. Basis for edit-distance lower bounds: a substitution changes
+    the histogram L1 by at most 2, an insert/delete by at most 1, a
+    transposition by 0."""
     n = a_mat.shape[0]
     offsets = np.arange(n, dtype=np.int64) << 8
     # histogram the full padded matrices (no per-row masks), then
@@ -110,7 +109,14 @@ def bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
     kb += offsets[:, None]
     hb = np.bincount(kb.reshape(-1), minlength=n << 8)
     hb[offsets] -= b_mat.shape[1] - b_len
-    l1 = np.abs(ha - hb).reshape(n, 256).sum(axis=1)
+    return np.abs(ha - hb).reshape(n, 256).sum(axis=1)
+
+
+def bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Unit-cost edit-distance lower bound: non-transposition op count
+    is ``>= L1/2`` (see ``bag_l1``), combined with the length
+    difference."""
+    l1 = bag_l1(a_mat, a_len, b_mat, b_len)
     return np.maximum((l1 + 1) // 2, np.abs(a_len - b_len))
 
 
