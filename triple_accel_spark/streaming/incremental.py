@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -162,7 +163,21 @@ def stream_assign_clusters(
                 doc = row["doc"]
                 best_i, best_sim = -1, -1.0
                 if docs and doc is not None:
-                    d, ok, _ = lev_batch([doc] * len(docs), docs)
+                    # per-pair k from the threshold: sim >= thr needs
+                    # d <= (1-thr)*max(len). Representatives beyond the
+                    # bound can never win an assignment (all-below-thr
+                    # routes to a new representative regardless of
+                    # which one was closest), so the k-bounded call is
+                    # semantics-identical and turns on the kernel's
+                    # reject pruning.
+                    ks = np.array(
+                        [
+                            int((1.0 - thr) * max(len(doc), len(r), 1) + 1e-9)
+                            for r in docs
+                        ],
+                        dtype=np.int64,
+                    )
+                    d, ok, _ = lev_batch([doc] * len(docs), docs, ks)
                     for i in range(len(docs)):
                         if not ok[i]:
                             continue
