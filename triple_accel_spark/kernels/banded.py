@@ -157,6 +157,13 @@ def lev_batch(
     uk = None
     if k is not None and not trace:
         kmax = int(np.max(k)) if isinstance(k, np.ndarray) else int(k)
+        # per-row cutoff for the early stop (rows with a smaller k than
+        # the batch max die sooner); the band width itself stays global
+        krow = (
+            k.astype(np.int64)
+            if isinstance(k, np.ndarray)
+            else np.int64(kmax)
+        )
         uk = max((kmax - int(sg)) // int(gap), 0)
         if 2 * uk + 3 >= w:
             uk = None
@@ -242,7 +249,7 @@ def lev_batch(
             wmin = np.minimum(
                 dp1[:, lo2:hi].min(axis=1), dp0[:, lo2:hi].min(axis=1)
             )
-            dead = live & (wmin > kmax)
+            dead = live & (wmin > krow)
             if dead.any():
                 # drop from the live set; result stays -1 -> invalid
                 p_len = np.where(dead, np.int64(0), p_len)
