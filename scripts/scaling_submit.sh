@@ -33,6 +33,7 @@ for N in 2 8; do
   for run in 1 2; do
     out="$WORK/out_${N}_${run}"
     spark-submit --master "local[$N]" \
+      --driver-memory "${SPARK_GRAFT_SUBMIT_MEM:-24g}" \
       --conf spark.sql.shuffle.partitions=$((N * 2)) \
       --conf spark.sql.files.maxPartitionBytes=16m \
       --py-files "$WORK/tas.zip" \
