@@ -154,8 +154,16 @@ def test_end_to_end_f1(spark, tmp_path):
     # per-partition lineage rows committed for every stage
     lin = spark.read.parquet(str(tmp_path / "lineage"))
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
-    assert stages == {"docs", "pairs_scored", "matches", "clusters"}
+    assert stages == {"docs", "candidates", "pairs_scored", "matches", "clusters"}
     assert res.metrics["lineage_docs"]["n_rows"] == res.metrics["n_docs"]
+
+    # prune count is a recorded lineage fact: candidates census minus
+    # scored survivors, never negative
+    assert res.metrics["n_candidates"] >= res.metrics["n_pairs_scored"]
+    assert res.metrics["n_pruned"] == (
+        res.metrics["n_candidates"] - res.metrics["n_pairs_scored"]
+    )
+    assert res.metrics["n_pruned"] >= 0
 
     # cluster-level: predicted clusters induce pairs; compare those too
     cl = res.clusters.alias("l").join(

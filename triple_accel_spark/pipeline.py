@@ -158,6 +158,16 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     metrics["n_pairs_scored"] = row["n"]
     metrics["n_matches"] = row["m"]
     commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
+    if cfg.metrics_dir:
+        # lineage mode pays one extra census pass per stage anyway;
+        # the pre-cutoff candidate census makes the PRUNE count a
+        # recorded lineage fact (north-rule metric rows: pairs scored,
+        # prunes, cluster merges) instead of prose. n_pruned counts
+        # candidates dropped by the k cutoff end to end — the Catalyst
+        # length prefilter plus the kernel's bound/band rejects.
+        commit(pairs, "candidates", size_col="doc_a", id_col="id_a")
+        metrics["n_candidates"] = metrics["lineage_candidates"]["n_rows"]
+        metrics["n_pruned"] = metrics["n_candidates"] - metrics["n_pairs_scored"]
     # scored is materialized in its own cache now — release the pair
     # join's internal persist (ADVICE: no unbounded cache accumulation
     # across repeated invocations in one driver)
