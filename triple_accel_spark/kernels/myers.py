@@ -86,37 +86,74 @@ def myers_batch(
     return myers_batch_encoded(a_mat, a_len, b_mat, b_len, a_ok & b_ok, k)
 
 
-def _trim_common(a_mat, a_len, b_mat, b_len):
+def _trim_common(a_mat, a_len, b_mat, b_len, _block: int = 64):
     """Strip the common prefix and suffix of every pair (exact for unit
     costs: ``d(Px, Py) = d(x, y)`` and symmetrically for suffixes —
     near-duplicate pairs, the ER hot path, shrink to their differing
-    core). Returns compacted matrices + lengths."""
+    core). Returns compacted matrices + lengths.
+
+    Scans in 64-column blocks with an early-out: a row leaves the
+    active set at its first mismatch, so unrelated pairs (which
+    mismatch almost immediately) cost one block instead of a full-width
+    compare, and the expensive reversed-index suffix gathers touch only
+    still-matching rows. When no row has a prefix trim and the widths
+    would barely shrink, the rebuild is skipped: with ``p == 0``
+    everywhere the suffix trim is just a length reduction, so the
+    original matrices are returned with the shortened lengths (the
+    per-row loop-bound benefit survives; only the width compaction is
+    forgone)."""
     n = a_mat.shape[0]
     wa, wb = a_mat.shape[1], b_mat.shape[1]
     w = min(wa, wb)
-    cols = np.arange(w)
     minlen = np.minimum(a_len, b_len)
-
-    stop = (a_mat[:, :w] != b_mat[:, :w]) | (cols[None, :] >= minlen[:, None])
-    has = stop.any(axis=1)
-    p = np.where(has, np.argmax(stop, axis=1), w)
-    p = np.minimum(p, minlen)
-
     rows = np.arange(n)
+
+    p = np.zeros(n, dtype=np.int64)
+    act = rows
+    lo = 0
+    while lo < w and act.size:
+        hi = min(lo + _block, w)
+        cols = np.arange(lo, hi)
+        sub = (
+            a_mat[act[:, None], cols[None, :]]
+            != b_mat[act[:, None], cols[None, :]]
+        ) | (cols[None, :] >= minlen[act][:, None])
+        has = sub.any(axis=1)
+        p[act] = np.minimum(
+            np.where(has, lo + np.argmax(sub, axis=1), hi), minlen[act]
+        )
+        act = act[~has]
+        lo = hi
+    if act.size:
+        p[act] = minlen[act]
+
     rem = minlen - p
-    ai = np.maximum(a_len[:, None] - 1 - cols[None, :], 0)
-    bi = np.maximum(b_len[:, None] - 1 - cols[None, :], 0)
-    stopr = (a_mat[rows[:, None], ai] != b_mat[rows[:, None], bi]) | (
-        cols[None, :] >= rem[:, None]
-    )
-    hasr = stopr.any(axis=1)
-    s = np.where(hasr, np.argmax(stopr, axis=1), w)
-    s = np.minimum(s, rem)
+    s = np.zeros(n, dtype=np.int64)
+    act = rows
+    off = 0
+    while act.size and off < w:
+        hi = min(off + _block, w)
+        cols = np.arange(off, hi)
+        ai = np.maximum(a_len[act][:, None] - 1 - cols[None, :], 0)
+        bi = np.maximum(b_len[act][:, None] - 1 - cols[None, :], 0)
+        sub = (a_mat[act[:, None], ai] != b_mat[act[:, None], bi]) | (
+            cols[None, :] >= rem[act][:, None]
+        )
+        has = sub.any(axis=1)
+        s[act] = np.minimum(
+            np.where(has, off + np.argmax(sub, axis=1), hi), rem[act]
+        )
+        act = act[~has]
+        off = hi
+    if act.size:
+        s[act] = rem[act]
 
     na_len = a_len - p - s
     nb_len = b_len - p - s
     wa2 = max(int(na_len.max()), 1)
     wb2 = max(int(nb_len.max()), 1)
+    if int(p.max()) == 0 and wa2 > 0.9 * wa and wb2 > 0.9 * wb:
+        return a_mat, na_len, b_mat, nb_len
     ca = np.arange(wa2)
     cb = np.arange(wb2)
     na = np.where(
