@@ -366,23 +366,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.levenshtein("text_a", "text_b").cast("long").alias("dist_builtin"),
         )
 
-    def lev_k_adjacent(spark, sf_dir):
-        p = _adjacent_doc_pairs(spark, sf_dir)
-        return p.select(
-            "id_a", "id_b",
-            edit_distance("text_a", "text_b", k=40).cast("long").alias("dist_k"),
-        )
-
     def lev_k_col_adjacent(spark, sf_dir):
-        # per-PAIR k as a Column (reference per-call k semantics;
-        # kernels take the cutoff as an ndarray) — NULL above the
-        # pair's own budget
+        # k-bounded kernel both ways in one frame: a fixed scalar k
+        # (the reference's levenshtein_simd_k call shape) AND per-PAIR
+        # k as a Column (kernels take the cutoff as an ndarray) — NULL
+        # above the pair's budget. Folded from the former
+        # lev_k_adjacent sibling so both stay driver-verified within
+        # the registry budget.
         p = _adjacent_doc_pairs(spark, sf_dir)
         kcol = (
             F.abs(F.length("text_a") - F.length("text_b")) + F.lit(20)
         ).cast("int")
         return p.select(
             "id_a", "id_b",
+            edit_distance("text_a", "text_b", k=40).cast("long").alias("dist_k40"),
             kcol.cast("long").alias("k_pair"),
             edit_distance("text_a", "text_b", k=kcol).cast("long").alias("dist_kc"),
         )
@@ -420,20 +417,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", hamming(fa, fb).cast("long").alias("dist")
         )
 
-    def rdamerau_adjacent(spark, sf_dir):
-        # rows-only: DuckDB damerau_levenshtein is full DL, not OSA
-        # (SURVEY.md §2 D12); OSA parity is pytest-oracled instead.
-        p = _adjacent_doc_pairs(spark, sf_dir)
-        return p.select(
-            "id_a", "id_b", rdamerau("text_a", "text_b").cast("long").alias("dist")
-        )
-
     def rdamerau_planted(spark, sf_dir):
-        # OSA kernel path with a DuckDB oracle: pair each doc with a
-        # copy whose chars at isolated positions 10/20/30 are
-        # substituted — runs between edits are long and no two diffs
-        # are adjacent, so neither shifts nor transpositions can beat
-        # plain substitutions and OSA == Levenshtein provably
+        # The OSA kernel's two provable planted constructions in ONE
+        # frame (folded from the former rdamerau_planted /
+        # rdamerau_swapped_planted siblings; full-length texts in
+        # both; the natural-pair CTE sibling covers arbitrary text).
+        # dist_subst — chars at isolated positions 10/20/30 substituted:
+        # runs between edits are long and no two diffs are adjacent,
+        # so neither shifts nor transpositions can beat plain
+        # substitutions and OSA == Levenshtein provably.
+        # dist_swapped — the TRANSPOSE recurrence: adjacent char pairs
+        # at (10,11), (30,31), (50,51) swapped, each flanked by >= 17
+        # unchanged chars, so each block costs min(1 transposition,
+        # 2 substitutions) in BOTH OSA and unrestricted DL and DuckDB's
+        # damerau_levenshtein (full DL) hash-oracles the OSA kernel
+        # (kernels/banded.py; reference levenshtein.rs:233-248,
+        # 1070-1098) with nonzero transposition contributions on
+        # nearly every row.
         d = _docs(spark, sf_dir)
         mut = F.concat(
             F.substring("text", 1, 9), F.lit("#"),
@@ -441,24 +441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.substring("text", 21, 9), F.lit("#"),
             F.expr("substring(text, 31)"),
         )
-        return d.select(
-            "doc_id",
-            rdamerau(F.col("text"), mut).cast("long").alias("dist"),
-        )
-
-    def rdamerau_swapped_planted(spark, sf_dir):
-        # the TRANSPOSE recurrence under a DuckDB oracle: swap the
-        # adjacent char pairs at positions (10,11), (30,31), (50,51) —
-        # each swap block is flanked by >= 17 unchanged chars, so the
-        # optimal alignment anchors on the long common runs and each
-        # block costs min(1 transposition, 2 substitutions) = 1 (or 0
-        # if the two chars are equal) in BOTH OSA and unrestricted DL;
-        # with isolated swaps the two measures provably coincide, so
-        # DuckDB's damerau_levenshtein (full DL) hash-oracles the OSA
-        # kernel (kernels/banded.py OSA recurrence; reference
-        # levenshtein.rs:233-248,1070-1098) with nonzero transposition
-        # contributions on nearly every row.
-        d = _docs(spark, sf_dir)
         swapped = F.concat(
             F.substring("text", 1, 9),
             F.substring("text", 11, 1), F.substring("text", 10, 1),
@@ -470,17 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return d.select(
             "doc_id",
-            rdamerau(F.col("text"), swapped).cast("long").alias("dist"),
-        )
-
-    def edit_costs_adjacent(spark, sf_dir):
-        # generalized EditCosts path (banded DP kernel, D9/D11)
-        p = _adjacent_doc_pairs(spark, sf_dir)
-        costs = EditCosts(mismatch_cost=2, gap_cost=3, start_gap_cost=1)
-        return p.select(
-            "id_a", "id_b",
-            edit_distance("text_a", "text_b", k=200, costs=costs)
-            .cast("long").alias("cost"),
+            rdamerau(F.col("text"), mut).cast("long").alias("dist_subst"),
+            rdamerau(F.col("text"), swapped).cast("long").alias("dist_swapped"),
         )
 
     def lev_binary_adjacent(spark, sf_dir):
@@ -574,39 +547,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_edits"),
         )
 
+    def edit_traceback_natural(spark, sf_dir):
+        # the RUN-LEVEL traceback oracle (edit_traceback_adjacent
+        # verifies only the weighted edit total): the full RLE edit
+        # script — op order AND run lengths — on natural 20-char
+        # prefixes, one row per run, hash-verified against a DuckDB
+        # replay of the kernel's own pointer walk. The DP argmin walk
+        # is deterministic given the documented tie-break (reference
+        # levenshtein.rs:211-247 naive / :493-532 k-bounded core;
+        # kernels/banded.py: sub wins ties, a_gap strictly below,
+        # b_gap strictly below, operands swapped so the pattern is
+        # the shorter string with labels flipped back), so the oracle
+        # rebuilds the identical pointer matrix row by row (unit-cost
+        # reduction: a_gap = left+1, b_gap = up+1) and walks it with
+        # the same priority rule.
+        from triple_accel_spark.functions import edit_traceback
+
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        t = p.select(
+            "id_a", "id_b",
+            edit_traceback(
+                F.substring("text_a", 1, 20), F.substring("text_b", 1, 20)
+            ).alias("trace"),
+        )
+        return t.select(
+            "id_a", "id_b", F.posexplode("trace").alias("pos", "run")
+        ).select(
+            "id_a", "id_b",
+            (F.col("pos") + 1).cast("long").alias("run_idx"),
+            F.col("run.edit").alias("edit"),
+            F.col("run.count").cast("long").alias("n"),
+        )
+
     def edit_search_docs(spark, sf_dir):
-        # semi-global fuzzy search, ``all`` mode (S4-S6): plant the
-        # needle from the doc's own middle. (end, cost) emissions are
-        # DuckDB-expressible as min-over-window-lengths levenshtein;
-        # start positions / Best-mode merge quirks stay pytest-oracled.
+        # semi-global fuzzy search, BOTH modes in one frame (folded
+        # from the former edit_search_docs / edit_search_best_docs
+        # siblings): plant the needle from the doc's own middle.
+        # ``all`` mode: (end, cost) emissions are DuckDB-expressible
+        # as min-over-window-lengths levenshtein (n_matches, min_k).
+        # ``best`` mode (tightening threshold + overlap merge,
+        # levenshtein.rs:1755-1838): every surviving match carries the
+        # GLOBAL min cost (best_k). Match starts / Best-mode merge
+        # quirks stay pytest-oracled per the ported vectors.
         d = _docs(spark, sf_dir)
         needle = F.substring("text", 21, 12)
         m = d.select(
             F.col("doc_id"),
             edit_search(needle, F.col("text"), k=2, search_type="all").alias("ms"),
+            edit_search(needle, F.col("text"), k=2, search_type="best").alias("bs"),
         )
         return m.select(
             "doc_id",
             F.size("ms").cast("long").alias("n_matches"),
             F.array_min(F.transform("ms", lambda x: x["k"]))
             .cast("long").alias("min_k"),
-        )
-
-    def edit_search_best_docs(spark, sf_dir):
-        # Best mode (tightening threshold + overlap merge,
-        # levenshtein.rs:1755-1838): every surviving match carries the
-        # GLOBAL min cost, which IS SQL-expressible as the min over
-        # substring windows — so best_k gets a hash oracle; match
-        # starts/counts (merge-rule-dependent) stay pytest-oracled
-        d = _docs(spark, sf_dir)
-        needle = F.substring("text", 21, 12)
-        m = d.select(
-            F.col("doc_id"),
-            edit_search(needle, F.col("text"), k=2, search_type="best").alias("ms"),
-        )
-        return m.select(
-            "doc_id",
-            F.element_at("ms", 1)["k"].cast("long").alias("best_k"),
+            F.element_at("bs", 1)["k"].cast("long").alias("best_k"),
         )
 
     def hamming_search_docs(spark, sf_dir):
@@ -703,31 +698,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("vec_id")
 
-    def simhash_docs(spark, sf_dir):
-        # single-pass scale path (explode + one combinable aggregation);
-        # fingerprints are bit-identical to the simhash64 Column form
-        # (asserted in tests). xxhash64 has no DuckDB twin -> rows-only.
-        return with_simhash(_docs(spark, sf_dir), "text", "doc_id")
+    def sketch_xxhash_docs(spark, sf_dir):
+        # BOTH single-pass sketches at production settings in one
+        # frame (folded from the former simhash_docs /
+        # fingerprint_docs siblings): explode + one combinable
+        # aggregation each, bit-identical to the Column forms
+        # (asserted in tests). xxhash64 has no DuckDB twin ->
+        # rows-only; the md5 sibling below hash-verifies the LOGIC.
+        d = _docs(spark, sf_dir)
+        return with_simhash(d, "text", "doc_id").join(
+            with_fingerprint(d, "text", "doc_id"), "doc_id"
+        )
 
-    def simhash_md5_docs(spark, sf_dir):
-        # same simhash algorithm (explode -> 64 signed bit sums ->
-        # assemble) with the DuckDB-matchable md5 gram hash, so the
-        # sketch LOGIC gets a hard hash oracle (xxhash64 itself has no
-        # DuckDB twin — simhash_docs stays rows-only for that path)
-        return with_simhash(_docs(spark, sf_dir), "text", "doc_id",
-                            gram_hash="md5")
-
-    def fingerprint_docs(spark, sf_dir):
-        # single-pass scale path (explode -> combinable bit_xor; no
-        # HOFs in the plan); bit-identical to the fingerprint64 Column
-        # form (asserted in tests). xxhash64 -> rows-only.
-        return with_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
-
-    def fingerprint_md5_docs(spark, sf_dir):
-        # the same xor-fold algorithm under the md5 gram hash —
-        # DuckDB-verifiable (see simhash_md5_docs)
-        return with_fingerprint(
-            _docs(spark, sf_dir), "text", "doc_id", gram_hash="md5"
+    def sketch_md5_docs(spark, sf_dir):
+        # the same two sketch algorithms (simhash: explode -> 64
+        # signed bit sums -> assemble; fingerprint: explode ->
+        # combinable bit_xor) under the DuckDB-matchable md5 gram
+        # hash, so both sketch LOGICS get a hard hash oracle (folded
+        # from the former simhash_md5_docs / fingerprint_md5_docs)
+        d = _docs(spark, sf_dir)
+        return with_simhash(d, "text", "doc_id", gram_hash="md5").join(
+            with_fingerprint(d, "text", "doc_id", gram_hash="md5"), "doc_id"
         )
 
     def token_stats(spark, sf_dir):
@@ -749,18 +740,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def lang_id_docs(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", lang_id("text").alias("lang_pred")
-        )
-
-    def lang_id_scaled_docs(spark, sf_dir):
-        # the single-pass scale shape (explode + combinable conditional
-        # counts; no interpreted HOFs) — same predictions, same oracle
+        # BOTH lang-ID forms in one frame (folded from the former
+        # lang_id_docs / lang_id_scaled_docs siblings): the Column
+        # form and the single-pass scale shape (explode + combinable
+        # conditional counts; no interpreted HOFs) must produce
+        # identical predictions — the oracle emits the same value for
+        # both columns, so a divergence hash-fails.
         from triple_accel_spark.operators.text import with_lang_id
 
-        return with_lang_id(_docs(spark, sf_dir), "text", "doc_id")
+        d = _docs(spark, sf_dir)
+        col_form = d.select("doc_id", lang_id("text").alias("lang_pred"))
+        scaled = with_lang_id(d, "text", "doc_id", out_col="lang_pred_scaled")
+        return col_form.join(scaled, "doc_id")
 
     def ann_topk(spark, sf_dir):
+        # BOTH exact-cosine implementations in one frame (folded from
+        # the former ann_topk / ann_topk_arrow siblings), tagged by a
+        # method column. expr rows keep RAW doubles — the sequential
+        # Column fold reproduces DuckDB's accumulation order
+        # bit-for-bit; arrow rows (BLAS einsum over stacked float64
+        # batches) round to 9 decimals because matmul's pairwise
+        # summation differs from the sequential fold in the last ulp.
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         dbl = emb.select(
             "vec_id",
@@ -768,46 +768,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
         corpus = dbl.where(F.col("vec_id") >= 10)
-        # expr impl: the sequential Column fold reproduces DuckDB's
-        # accumulation order bit-for-bit (raw unrounded doubles hash)
-        top = brute_force_topk(corpus, qs, k=10, vec_impl="expr")
-        return top.select(
-            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        te = brute_force_topk(corpus, qs, k=10, vec_impl="expr").select(
+            F.lit("expr").alias("method"), "query_id", "vec_id",
+            F.col("cosine"), F.col("rank").cast("long").alias("rank"),
         )
-
-    def ann_topk_arrow(spark, sf_dir):
-        # the BLAS-batched Arrow cosine path (einsum over stacked
-        # float64 batches) under the same exact-top-k oracle; doubles
-        # rounded to 9 decimals on both sides because matmul's pairwise
-        # summation differs from the sequential fold in the last ulp
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dbl = emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        )
-        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-        corpus = dbl.where(F.col("vec_id") >= 10)
-        top = brute_force_topk(corpus, qs, k=10, vec_impl="arrow")
-        return top.select(
-            "query_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+        ta = brute_force_topk(corpus, qs, k=10, vec_impl="arrow").select(
+            F.lit("arrow").alias("method"), "query_id", "vec_id",
+            F.round("cosine", 9).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
+        return te.unionByName(ta)
 
-    def ann_lsh(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dbl = emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        )
-        qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-        corpus = dbl.where(F.col("vec_id") >= 10)
-        return lsh_topk(corpus, qs, k=10)
-
-    def ann_ivf(spark, sf_dir):
-        # inverted-file ANN at realistic settings — approximate by
-        # design, so rows-only; the full-probe sibling below is the
-        # hash-verified degenerate case, and planted-copy recall is
-        # pytest-asserted (tests/test_round3.py)
+    def ann_recall_rows(spark, sf_dir):
+        # the two approximate ANN indexes at REALISTIC settings in one
+        # frame (folded from the former ann_lsh / ann_ivf siblings),
+        # tagged by a method column — approximate by design, so
+        # rows-only; the planted/full-probe siblings hash-verify each
+        # operator's machinery, recall itself is recorded as data in
+        # the bench artifact (ann_recall)
         from triple_accel_spark.operators.similarity import ivf_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -817,7 +795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         qs = dbl.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
         corpus = dbl.where(F.col("vec_id") >= 10)
-        return ivf_topk(corpus, qs, k=10, n_centroids=32, n_probe=8)
+        lsh = lsh_topk(corpus, qs, k=10).select(
+            F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rank"
+        )
+        ivf = ivf_topk(corpus, qs, k=10, n_centroids=32, n_probe=8).select(
+            F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rank"
+        )
+        return lsh.unionByName(ivf)
 
     def ann_ivf_fullprobe(spark, sf_dir):
         # probing every centroid makes the candidate set the whole
@@ -923,12 +907,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def embedding_dups(spark, sf_dir):
-        # the testdata embeddings have no near-dup pairs (max pairwise
-        # cosine ~0.51), so plant deterministic duplicates: scaled
-        # copies of vec_id < 50 (cosine exactly 1.0 to their source).
-        # Scaled copies share every hyperplane sign bucket with their
-        # source, so LSH recall is exactly 1.0 and the exact cross-join
-        # cosine in DuckDB is a hard oracle.
+        # BOTH vector-math implementations of embedding near-dup
+        # detection in one frame (folded from the former
+        # embedding_dups / embedding_dups_arrow siblings), tagged by a
+        # method column. The testdata embeddings have no near-dup
+        # pairs (max pairwise cosine ~0.51), so plant deterministic
+        # duplicates: scaled copies of vec_id < 50 (cosine exactly 1.0
+        # to their source). Scaled copies share every hyperplane sign
+        # bucket with their source under the Column fold AND under the
+        # batched matmul (x0.5 is an exact IEEE scaling), so LSH
+        # recall is exactly 1.0 on both paths and the exact cross-join
+        # cosine in DuckDB is a hard oracle. Rounded to 9 decimals:
+        # DuckDB's list_cosine_similarity accumulates in a slightly
+        # different order, so raw doubles can differ in the last ulp
+        # on exactly-parallel vectors.
         from triple_accel_spark.operators.dedup import embedding_near_duplicates
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -941,36 +933,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
         )
         corpus = dbl.union(dups)
-        out = embedding_near_duplicates(corpus, "embedding", "vec_id",
-                                        cosine_threshold=0.999,
-                                        vec_impl="expr")
-        # round for the oracle compare: DuckDB's list_cosine_similarity
-        # accumulates in a slightly different order than the sequential
-        # aggregate fold, so raw doubles can differ in the last ulp on
-        # exactly-parallel vectors (1.0 vs 1.0000000000000002)
-        return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
-
-    def embedding_dups_arrow(spark, sf_dir):
-        # the Arrow path (batched matmul buckets + einsum cosine) on
-        # the same planted corpus and exact cross-join oracle: scaled
-        # copies share every sign bucket bit-exactly under matmul too
-        # (x0.5 is an exact IEEE scaling), so LSH recall stays 1.0
-        from triple_accel_spark.operators.dedup import embedding_near_duplicates
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dbl = emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        )
-        dups = dbl.where(F.col("vec_id") < 50).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-        )
-        corpus = dbl.union(dups)
-        out = embedding_near_duplicates(corpus, "embedding", "vec_id",
-                                        cosine_threshold=0.999,
-                                        vec_impl="arrow")
-        return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+        outs = []
+        for impl in ("expr", "arrow"):
+            out = embedding_near_duplicates(corpus, "embedding", "vec_id",
+                                            cosine_threshold=0.999,
+                                            vec_impl=impl)
+            outs.append(out.select(
+                F.lit(impl).alias("method"), "id_a", "id_b",
+                F.round("cosine", 9).alias("cosine"),
+            ))
+        return outs[0].unionByName(outs[1])
 
     def er_matches_docs(spark, sf_dir):
         return _doc_er_matches(spark, sf_dir)
@@ -1212,19 +1184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
         return res.clusters
 
-    def media_features(spark, sf_dir):
-        from triple_accel_spark.operators.multimodal import (
-            extract_features,
-            synth_media,
-        )
-
-        media = synth_media(spark, n=64, seed=42)
-        feats = extract_features(media)
-        return feats.select(
-            "media_id", "kind",
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            F.size("feature").cast("long").alias("feat_dim"),
-        )
+    # (the former media_features query — synth_media seeded binaries
+    # through extract_features, rows-only — was folded out of the
+    # registry in round 5: the same mapInPandas plumbing is
+    # hash-verified by media_features_docs / media_feature_ppm, and
+    # synth_media stays pytest-covered in tests/test_dataops.py)
 
     def media_features_docs(spark, sf_dir):
         # the same mapInPandas feature-extraction plumbing over a media
@@ -1352,25 +1316,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("val").cast("double").alias("val"),
         )
 
+    # 49 entries (driver verifies at most the first 50 — round 4's
+    # registry had 60 and the last 10 were silently unchecked).
+    # Ordering: the rows that got no round-4 driver artifact come
+    # FIRST (the three never-verified composites, then the r3-green
+    # rows that fell off the end, then this round's new traceback
+    # oracle), so a future registry overflow can never again drop the
+    # newest, most integrative evidence.
     return {
+        # -- never driver-verified before round 5
+        "corpus_cleanse_docs": corpus_cleanse_docs,
+        "er_bcubed_docs": er_bcubed_docs,
+        "media_feature_ppm": media_feature_ppm,
+        # -- r3-green rows dropped from the r4 artifact by the cap
+        "er_transcripts_clusters": er_transcripts_clusters,
+        "er_transcripts_f1": er_transcripts_f1,
+        "er_transcripts_synth": er_transcripts_synth,
+        "events_hourly": events_hourly,
+        "media_features_docs": media_features_docs,
+        "media_decode_ppm": media_decode_ppm,
+        # -- new this round
+        "edit_traceback_natural": edit_traceback_natural,
+        # -- the stable, every-round-green body
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
-        "lev_k_adjacent": lev_k_adjacent,
         "lev_k_col_adjacent": lev_k_col_adjacent,
         "lev_unicode": lev_unicode,
         "edit_costs_scaled": edit_costs_scaled,
         "hamming_fixed": hamming_fixed,
-        "rdamerau_adjacent": rdamerau_adjacent,
         "rdamerau_planted": rdamerau_planted,
-        "rdamerau_swapped_planted": rdamerau_swapped_planted,
-        "edit_costs_adjacent": edit_costs_adjacent,
         "lev_binary_adjacent": lev_binary_adjacent,
         "edit_costs_natural": edit_costs_natural,
         "rdamerau_natural": rdamerau_natural,
         "edit_costs_affine_planted": edit_costs_affine_planted,
         "edit_traceback_adjacent": edit_traceback_adjacent,
         "edit_search_docs": edit_search_docs,
-        "edit_search_best_docs": edit_search_best_docs,
         "hamming_search_docs": hamming_search_docs,
         "exact_dedup_docs": exact_dedup_docs,
         "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
@@ -1379,40 +1359,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_docs": dedup_near_docs,
         "dedup_near_simhash_docs": dedup_near_simhash_docs,
         "dedup_near_embedding_docs": dedup_near_embedding_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_md5_docs": simhash_md5_docs,
-        "fingerprint_docs": fingerprint_docs,
-        "fingerprint_md5_docs": fingerprint_md5_docs,
+        "sketch_xxhash_docs": sketch_xxhash_docs,
+        "sketch_md5_docs": sketch_md5_docs,
         "token_stats": token_stats,
         "quality_scores": quality_scores,
         "lang_id_docs": lang_id_docs,
-        "lang_id_scaled_docs": lang_id_scaled_docs,
         "ann_topk": ann_topk,
-        "ann_topk_arrow": ann_topk_arrow,
-        "ann_lsh": ann_lsh,
+        "ann_recall_rows": ann_recall_rows,
         "ann_lsh_planted": ann_lsh_planted,
         "ann_ivf_planted": ann_ivf_planted,
-        "ann_ivf": ann_ivf,
         "ann_ivf_fullprobe": ann_ivf_fullprobe,
         "ann_allpairs": ann_allpairs,
         "embedding_dups": embedding_dups,
-        "embedding_dups_arrow": embedding_dups_arrow,
         "er_matches_docs": er_matches_docs,
         "er_clusters_docs": er_clusters_docs,
         "er_link_docs": er_link_docs,
         "er_link_best_docs": er_link_best_docs,
         "blocking_quality_docs": blocking_quality_docs,
         "er_assign_docs": er_assign_docs,
-        "er_bcubed_docs": er_bcubed_docs,
-        "events_hourly": events_hourly,
-        "er_transcripts_clusters": er_transcripts_clusters,
-        "er_transcripts_f1": er_transcripts_f1,
-        "er_transcripts_synth": er_transcripts_synth,
-        "media_features": media_features,
-        "media_features_docs": media_features_docs,
-        "media_decode_ppm": media_decode_ppm,
-        "media_feature_ppm": media_feature_ppm,
-        "corpus_cleanse_docs": corpus_cleanse_docs,
     }
 
 
@@ -1445,14 +1409,10 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.text, b.text) AS dist_builtin
             {_ADJ_SQL}
         """,
-        "lev_k_adjacent": f"""
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CASE WHEN levenshtein(a.text, b.text) <= 40
-                        THEN levenshtein(a.text, b.text) END AS dist_k
-            {_ADJ_SQL}
-        """,
         "lev_k_col_adjacent": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN levenshtein(a.text, b.text) <= 40
+                        THEN levenshtein(a.text, b.text) END AS dist_k40,
                    abs(length(a.text) - length(b.text)) + 20 AS k_pair,
                    CASE WHEN levenshtein(a.text, b.text)
                              <= abs(length(a.text) - length(b.text)) + 20
@@ -1592,18 +1552,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rdamerau_planted": """
+            -- dist_subst: isolated substitutions, OSA == levenshtein
+            -- provably. dist_swapped: DuckDB damerau_levenshtein is
+            -- unrestricted DL; with isolated adjacent swaps (>= 17-char
+            -- unchanged runs between edit sites) DL == OSA provably,
+            -- so it oracles the restricted kernel's transpose path
             SELECT doc_id,
                    levenshtein(text,
                      substr(text, 1, 9) || '#' || substr(text, 11, 9) || '#'
-                       || substr(text, 21, 9) || '#' || substr(text, 31)) AS dist
-            FROM documents
-        """,
-        "rdamerau_swapped_planted": """
-            -- DuckDB damerau_levenshtein is unrestricted DL; with
-            -- isolated adjacent swaps (>= 17-char unchanged runs
-            -- between edit sites) DL == OSA provably, so it oracles
-            -- the restricted kernel's transpose path directly
-            SELECT doc_id,
+                       || substr(text, 21, 9) || '#' || substr(text, 31))
+                     AS dist_subst,
                    damerau_levenshtein(text,
                      substr(text, 1, 9)
                        || substr(text, 11, 1) || substr(text, 10, 1)
@@ -1611,13 +1569,124 @@ def oracle_sql() -> dict[str, str]:
                        || substr(text, 31, 1) || substr(text, 30, 1)
                        || substr(text, 32, 18)
                        || substr(text, 51, 1) || substr(text, 50, 1)
-                       || substr(text, 52)) AS dist
+                       || substr(text, 52)) AS dist_swapped
             FROM documents
         """,
         "edit_traceback_adjacent": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    levenshtein(a.text, b.text) AS n_edits
             {_ADJ_SQL} WHERE a.doc_id < 50
+        """,
+        "edit_traceback_natural": f"""
+            -- RUN-LEVEL traceback replay: rebuild the kernel's pointer
+            -- matrix row by row (unit costs collapse the affine gap
+            -- state to a_gap = left+1 / b_gap = up+1; banded.py:191-233)
+            -- with the reference tie-break (sub wins ties, a_gap
+            -- strictly below, b_gap strictly below; levenshtein.rs:
+            -- 493-532), operands swapped so the pattern is the shorter
+            -- string (labels flipped back on output, banded.py:110-120,
+            -- 304-305), then walk it back from (m, n) and RLE-compress.
+            -- Pointer codes: 0 = sub, 1 = a_gap (consume text char),
+            -- 2 = b_gap (consume pattern char). Row 0 is all a_gap.
+            WITH RECURSIVE raw AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     substr(a.text, 1, 20) AS pa, substr(b.text, 1, 20) AS pb
+              {_ADJ_SQL}
+            ),
+            base AS (
+              SELECT id_a, id_b,
+                     CASE WHEN length(pa) > length(pb) THEN pb ELSE pa END AS p,
+                     CASE WHEN length(pa) > length(pb) THEN pa ELSE pb END AS t,
+                     length(pa) > length(pb) AS sw
+              FROM raw
+            ),
+            dp(id_a, id_b, p, t, m, n, i, dpr, ptr) AS (
+              SELECT id_a, id_b, p, t, length(p), length(t), 0,
+                     list_transform(range(0, length(t) + 1), j -> j),
+                     list_transform(range(0, length(t) + 1), j -> 1)
+              FROM base
+              UNION ALL
+              SELECT id_a, id_b, p, t, m, n, i + 1, nd,
+                     -- pointer priority: start at sub; a_gap (= nd of
+                     -- the left cell + 1) replaces if strictly less;
+                     -- b_gap (= up + 1) replaces if strictly less
+                     list_transform(range(1, n + 2), pp ->
+                       CASE WHEN pp = 1 THEN 2
+                            WHEN dpr[pp::INT] + 1
+                                 < least(sub[pp::INT], nd[(pp-1)::INT] + 1)
+                              THEN 2
+                            WHEN nd[(pp-1)::INT] + 1 < sub[pp::INT] THEN 1
+                            ELSE 0 END)
+              FROM (
+                SELECT id_a, id_b, p, t, m, n, i, dpr, sub,
+                       -- the new DP row via the same prefix-min
+                       -- identity as rdamerau_natural: d[i][j] =
+                       -- j + min_(q<=j)(min(sub[q], up[q]+1) - q)
+                       list_transform(range(1, n + 2), pp ->
+                         (pp - 1) + list_min(list_transform(
+                           range(1, pp + 1),
+                           q -> least(sub[q::INT], dpr[q::INT] + 1)
+                                - (q - 1)))) AS nd
+                FROM (
+                  SELECT id_a, id_b, p, t, m, n, i, dpr,
+                         list_transform(range(1, n + 2), pp ->
+                           CASE WHEN pp = 1 THEN 1000000000
+                                ELSE dpr[(pp-1)::INT]
+                                     + CASE WHEN substr(t, (pp-1)::INT, 1)
+                                                 = substr(p, (i+1)::INT, 1)
+                                            THEN 0 ELSE 1 END END) AS sub
+                  FROM dp WHERE i < m
+                )
+              )
+            ),
+            walk(id_a, id_b, i, j, eds) AS (
+              SELECT id_a, id_b, m, n, []::VARCHAR[] FROM dp WHERE i = m
+              UNION ALL
+              SELECT id_a, id_b,
+                     CASE WHEN pt = 1 THEN i ELSE i - 1 END,
+                     CASE WHEN pt = 2 THEN j ELSE j - 1 END,
+                     list_append(eds, lab)
+              FROM (
+                SELECT w.id_a, w.id_b, w.i, w.j, w.eds,
+                       d.ptr[(w.j + 1)::INT] AS pt,
+                       CASE d.ptr[(w.j + 1)::INT]
+                         WHEN 0 THEN CASE WHEN substr(d.p, w.i::INT, 1)
+                                               = substr(d.t, w.j::INT, 1)
+                                     THEN 'match' ELSE 'mismatch' END
+                         WHEN 1 THEN CASE WHEN b.sw THEN 'b_gap'
+                                          ELSE 'a_gap' END
+                         ELSE CASE WHEN b.sw THEN 'a_gap' ELSE 'b_gap' END
+                       END AS lab
+                FROM walk w
+                JOIN dp d ON d.id_a = w.id_a AND d.id_b = w.id_b
+                         AND d.i = w.i
+                JOIN base b ON b.id_a = w.id_a AND b.id_b = w.id_b
+                WHERE w.i > 0 OR w.j > 0
+              )
+            ),
+            fin AS (
+              SELECT id_a, id_b, list_reverse(eds) AS ed
+              FROM walk WHERE i = 0 AND j = 0
+            ),
+            ex AS (
+              SELECT id_a, id_b, r.i AS pos, ed[r.i::INT] AS edit
+              FROM fin JOIN range(1, 64) r(i) ON r.i <= length(ed)
+            ),
+            isl AS (
+              SELECT id_a, id_b, pos, edit,
+                     pos - row_number() OVER (
+                       PARTITION BY id_a, id_b, edit ORDER BY pos) AS grp
+              FROM ex
+            ),
+            runs AS (
+              SELECT id_a, id_b, edit, min(pos) AS st, count(*) AS n
+              FROM isl GROUP BY id_a, id_b, edit, grp
+            )
+            SELECT id_a, id_b,
+                   row_number() OVER (PARTITION BY id_a, id_b
+                                      ORDER BY st) AS run_idx,
+                   edit, n
+            FROM runs
         """,
         "edit_search_docs": """
             WITH d AS (
@@ -1642,11 +1711,18 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
               SELECT doc_id, count(*) AS n_matches, min(cost) AS min_k
               FROM costs WHERE cost <= 2 GROUP BY doc_id
+            ),
+            -- best mode: every surviving match carries the GLOBAL min
+            -- cost over all window ends (the tightening-threshold
+            -- semantics), NULL when nothing is within k
+            best AS (
+              SELECT doc_id, min(cost) AS best_k FROM costs GROUP BY doc_id
             )
             SELECT d.doc_id,
                    coalesce(agg.n_matches, 0) AS n_matches,
-                   agg.min_k
-            FROM d LEFT JOIN agg USING (doc_id)
+                   agg.min_k,
+                   CASE WHEN best.best_k <= 2 THEN best.best_k END AS best_k
+            FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)
         """,
         "hamming_search_docs": """
             WITH d AS (
@@ -1672,31 +1748,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.dmin <= 2 THEN c.n_at_min ELSE 0 END AS n_matches,
                    CASE WHEN c.dmin <= 2 THEN c.dmin END AS best_k
             FROM d LEFT JOIN c USING (doc_id)
-        """,
-        "edit_search_best_docs": """
-            WITH d AS (
-              SELECT doc_id, text, substr(text, 21, 12) AS needle,
-                     length(text) AS h, length(substr(text, 21, 12)) AS n
-              FROM documents
-            ),
-            costs AS (
-              SELECT d.doc_id,
-                     min(levenshtein(d.needle,
-                                     substr(d.text, (t.e - l.L + 1)::INT, l.L::INT)))
-                       AS cost
-              FROM d
-              JOIN range(0, 4096) t(e)
-                ON t.e <= d.h
-              JOIN range(0, 15) l(L)
-                ON l.L >= greatest(d.n - 2, 0) AND l.L <= least(t.e, d.n + 2)
-              GROUP BY d.doc_id, t.e
-            ),
-            best AS (
-              SELECT doc_id, min(cost) AS best_k FROM costs GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CASE WHEN best.best_k <= 2 THEN best.best_k END AS best_k
-            FROM d LEFT JOIN best USING (doc_id)
         """,
         "minhash_lsh_dups": _DUP_EDGES_SQL,
         "simhash_near_dups": _SIMHASH_EDGES_SQL,
@@ -1843,11 +1894,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id + 1000000,
                      list_transform(v, x -> x * 0.5::DOUBLE)
               FROM dbl WHERE vec_id < 50
+            ),
+            edges AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 9) AS cosine
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 9) AS cosine
-            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
+            SELECT 'expr' AS method, id_a, id_b, cosine FROM edges
+            UNION ALL
+            SELECT 'arrow', id_a, id_b, cosine FROM edges
         """,
         "er_transcripts_clusters": f"""
             WITH RECURSIVE {_TRANSCRIPT_MATCH_SQL.strip().removeprefix('WITH')},
@@ -1917,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1.0::DOUBLE END AS jaccard
             FROM g
         """,
-        "simhash_md5_docs": f"""
+        "sketch_md5_docs": f"""
             WITH nt AS (
               SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
               FROM documents
@@ -1933,19 +1989,23 @@ def oracle_sql() -> dict[str, str]:
                      {", ".join(f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
               FROM g GROUP BY doc_id
             )
-            SELECT doc_id,
-                   ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS simhash
-            FROM s
-        """,
-        "fingerprint_md5_docs": """
-            WITH g AS (
+            ,sh AS (
+              SELECT doc_id,
+                     ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60))}) AS simhash
+              FROM s
+            ),
+            fg AS (
               SELECT doc_id, substr(text, i::INT, 8) AS gr, i - 1 AS idx
               FROM documents JOIN range(1, 4096) r(i)
                 ON r.i <= greatest(length(text) - 7, 1)
+            ),
+            fp AS (
+              SELECT doc_id,
+                     bit_xor(('0x' || substr(md5(gr || ':' || idx::VARCHAR), 1, 15))::BIGINT) AS fp
+              FROM fg GROUP BY doc_id
             )
-            SELECT doc_id,
-                   bit_xor(('0x' || substr(md5(gr || ':' || idx::VARCHAR), 1, 15))::BIGINT) AS fp
-            FROM g GROUP BY doc_id
+            SELECT sh.doc_id, sh.simhash, fp.fp
+            FROM sh JOIN fp ON sh.doc_id = fp.doc_id
         """,
         "token_stats": f"""
             SELECT doc_id,
@@ -1980,11 +2040,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END, 6) AS quality_score
             FROM r
         """,
-        # shared by the Column-form and single-pass lang-id queries —
-        # both must produce identical predictions
-        **dict.fromkeys(
-            ("lang_id_docs", "lang_id_scaled_docs"),
-            f"""
+        # one prediction expression emitted under BOTH column names —
+        # the Column form and the single-pass scale shape must agree,
+        # so any divergence between the two engine paths hash-fails
+        "lang_id_docs": f"""
             WITH langs(lang, words) AS (VALUES {lang_rows}),
             hits AS (
               SELECT d.doc_id, l.lang,
@@ -1999,11 +2058,15 @@ def oracle_sql() -> dict[str, str]:
               FROM hits GROUP BY doc_id
             )
             SELECT doc_id,
-                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END
+                     AS lang_pred_scaled
             FROM best
         """,
-        ),
         "ann_topk": """
+            -- expr rows carry RAW doubles (the sequential fold matches
+            -- DuckDB's accumulation order bit-for-bit); arrow rows
+            -- round to 9 decimals (matmul pairwise summation)
             WITH dbl AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ),
@@ -2019,25 +2082,10 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored
             )
-            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-        """,
-        "ann_topk_arrow": """
-            WITH dbl AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id,
-                     list_cosine_similarity(q.v, c.v) AS cosine
-              FROM dbl q CROSS JOIN dbl c
-              WHERE q.vec_id < 10 AND c.vec_id >= 10
-            ),
-            ranked AS (
-              SELECT query_id, vec_id, cosine,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM scored
-            )
-            SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
+            SELECT 'expr' AS method, query_id, vec_id, cosine, rank
+            FROM ranked WHERE rank <= 10
+            UNION ALL
+            SELECT 'arrow', query_id, vec_id, round(cosine, 9), rank
             FROM ranked WHERE rank <= 10
         """,
         "ann_ivf_fullprobe": """
@@ -2058,22 +2106,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cosine, 9) AS cosine, rank
             FROM ranked WHERE rank <= 10
-        """,
-        "embedding_dups_arrow": """
-            WITH dbl AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            corpus AS (
-              SELECT vec_id, v FROM dbl
-              UNION ALL
-              SELECT vec_id + 1000000,
-                     list_transform(v, x -> x * 0.5::DOUBLE)
-              FROM dbl WHERE vec_id < 50
-            )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 9) AS cosine
-            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.999::DOUBLE
         """,
         "er_matches_docs": f"""
             SELECT id_a, id_b, dist, sim, sim >= {ER_TAU} AS is_match

@@ -400,7 +400,26 @@ def main() -> None:
         "ivf_refined": _recall(
             ivf_topk(rc, rq, k=10, refine_iters=2, **ivf_cfg), exact10
         ),
+        # IVF recall/cost curve (r4 verdict #5): multi-assignment
+        # (assign_replicas) is the recall lever on this near-uniform
+        # corpus — cost_multiple is the structural candidate-volume
+        # bound n_probe/n_centroids * replicas (the dedupe makes the
+        # realized volume slightly lower)
+        "ivf_replicated": _recall(
+            ivf_topk(rc, rq, k=10, refine_iters=2, assign_replicas=2,
+                     **ivf_cfg), exact10
+        ),
+        "ivf_wide": _recall(
+            ivf_topk(rc, rq, k=10, refine_iters=2, assign_replicas=2,
+                     n_centroids=64, n_probe=24), exact10
+        ),
         "lsh_cfg": lsh_cfg, "ivf_cfg": ivf_cfg, "ivf_refine_iters": 2,
+        "ivf_replicated_cfg": {**ivf_cfg, "assign_replicas": 2,
+                               "refine_iters": 2,
+                               "cost_multiple": 2 * 16 / 64},
+        "ivf_wide_cfg": {"n_centroids": 64, "n_probe": 24,
+                         "assign_replicas": 2, "refine_iters": 2,
+                         "cost_multiple": 2 * 24 / 64},
     }
     exact10.unpersist()
     # all-pairs config (q4b settings), sampled query ids: exact top-5
@@ -460,6 +479,52 @@ def main() -> None:
         )
         sec_d1, _ = timed_best2(lambda: minhash_lsh_duplicates(
             docs1_tbl, "text", "doc_id", jaccard_threshold=0.5).count())
+
+        # q7/q8 growth (r4 verdict #4): the two newest end-to-end
+        # endpoints measured at 1x and 10x WITHIN the same corpus
+        # family (assembled transcript docs), so the factor is a clean
+        # like-for-like 10x — the sf0.1 q7/q8 lines time the parquet
+        # documents table, a different text-length distribution.
+        progress("sf1 q7 cleanse growth (1x and 10x)")
+        base_tbl = docs.select(
+            F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")
+        ).persist()
+        n_base_docs = base_tbl.count()
+
+        def cleanse_on(tbl):
+            res = prepare_training_corpus(
+                tbl, cfg=CleanseConfig(
+                    min_tokens=5, quality_threshold=0.5, langs=None,
+                    jaccard_threshold=0.5, num_bands=8,
+                ),
+            )
+            n = res.metrics["n_near"]
+            res.unpersist()
+            return n
+
+        sec_q7_base, _ = timed_best2(lambda: cleanse_on(base_tbl))
+        sec_q7_sf1, _ = timed_best2(lambda: cleanse_on(docs1_tbl))
+
+        progress("sf1 q8 linkage growth (1x and 10x)")
+
+        def linkage_on(tbl):
+            ll = tbl.select(F.col("doc_id").alias("id"), "text")
+            lr = tbl.where(
+                F.xxhash64("doc_id") % 2 == 0
+            ).select(
+                F.concat(F.lit("r_"), F.col("doc_id")).alias("id"),
+                F.concat(
+                    F.substring("text", 1, 39), F.expr("substring(text, 41)")
+                ).alias("text"),
+            )
+            res = link_records(ll, lr, cfg=LinkConfig(sim_threshold=0.85))
+            n = res.best.count()
+            res.unpersist()
+            return n
+
+        sec_q8_base, _ = timed_best2(lambda: linkage_on(base_tbl))
+        sec_q8_sf1, _ = timed_best2(lambda: linkage_on(docs1_tbl))
+        base_tbl.unpersist()
         docs1.unpersist()
         progress("sf1 q2b distributed CC")
         spark.catalog.clearCache()
@@ -487,10 +552,24 @@ def main() -> None:
                 "sec": round(sec_c1, 3),
                 "growth_vs_q2b": growth(sec_c1, queries["q2b_cc_distributed"]),
             },
-            "note": ("best-of-2 at 10x input; growth factors vs the "
-                     "sf0.1 queries — sub-quadratic growth expected "
-                     "everywhere (scoring/dedup ~linear in pairs/docs, "
-                     "CC ~rounds x linear)"),
+            "corpus_cleanse": {
+                "n_docs_base": n_base_docs, "n_docs_sf1": n_docs1,
+                "sec_base": round(sec_q7_base, 3),
+                "sec_sf1": round(sec_q7_sf1, 3),
+                "growth_10x": growth(sec_q7_sf1, sec_q7_base),
+            },
+            "linkage": {
+                "n_docs_base": n_base_docs, "n_docs_sf1": n_docs1,
+                "sec_base": round(sec_q8_base, 3),
+                "sec_sf1": round(sec_q8_sf1, 3),
+                "growth_10x": growth(sec_q8_sf1, sec_q8_base),
+            },
+            "note": ("best-of-2 at 10x input; scoring/dedup/CC growth "
+                     "vs the sf0.1 queries; cleanse/linkage growth is "
+                     "1x-vs-10x WITHIN the assembled-transcript corpus "
+                     "family (like-for-like input) — sub-quadratic "
+                     "growth expected everywhere (scoring/dedup ~linear "
+                     "in pairs/docs, CC ~rounds x linear)"),
         }
 
     total = round(sum(queries.values()), 3)
@@ -523,6 +602,18 @@ def main() -> None:
     scoring_pairs(sdocs, fanout=300).repartition(64).write.mode(
         "overwrite"
     ).parquet(pairs_path)
+
+    # skew corpus (measured below in its own local[8] session): ~30% of
+    # the documents table forced into ONE blocking key — the adversarial
+    # hot block the salted shard triangle exists for
+    skew_path = f"{scratch}/skew_docs.parquet"
+    sf_docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.lit("HOTBLOCKKEY."), F.expr("substring(text, 13)")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).repartition(8).write.mode("overwrite").parquet(skew_path)
     spark.stop()
 
     points = (2, 8, 32) if os.environ.get("SPARK_GRAFT_SCALING") == "1" else (2, 8)
@@ -552,6 +643,79 @@ def main() -> None:
                        "marks a ratio outside [0.7, 1.05] that "
                        "persisted through one full re-measure.")
     extra["scaling"] = scaling
+
+    # ------------------------------------------------------- skew block
+    # Adversarial-skew evidence (r4 verdict #6): salting is
+    # pytest-asserted for candidate EXACTNESS; this records it WORKING
+    # under a genuinely hot key — ~30% of the corpus shares one
+    # blocking prefix, so the unsalted self-join pins that block's
+    # ~n^2/2 pairs plus their scoring on ONE task. local[8], AQE
+    # disabled to isolate the explicit mechanism (AQE skew-join cannot
+    # split a self-join key that explodes quadratically — pairs.py
+    # docstring); outputs asserted identical (count + dist checksum).
+    progress("skew: salted vs unsalted hot block at local[8]")
+    from triple_accel_spark.operators.blocking import with_prefix_blocks
+    from triple_accel_spark.operators.pairs import candidate_pairs
+
+    sk = get_spark(
+        "bench-skew", master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    skd = sk.read.parquet(skew_path).persist()
+    n_skew_docs = skd.count()
+
+    def skew_run(salted: bool):
+        blocked = with_prefix_blocks(skd, "text", prefix_len=12)
+        pairs = candidate_pairs(
+            blocked, id_col="doc_id", block_col="block_key",
+            payload_cols=("text",), max_block_size=None,
+            salt_threshold=(64 if salted else 1 << 40),
+        )
+        # k=None: every candidate runs the full DP and carries a real
+        # dist — the checksum covers EVERY pair and the hot block's
+        # quadratic work cannot be shrunk by the reject-pruning layer,
+        # so the line isolates partition balance (salting's job)
+        scored = score_pairs(pairs, "text_a", "text_b", k=None,
+                             sim_threshold=None)
+        row = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist").alias("chk"),
+        ).collect()[0]
+        for fr in getattr(pairs, "_persisted_frames", []):
+            fr.unpersist()
+        return row["n"], row["chk"]
+
+    skew_res: dict = {"n_docs": n_skew_docs, "hot_fraction": 0.3}
+    # cheap Python-worker warm-up (not a full skew run)
+    score_pairs(
+        skd.limit(50).select(F.col("text").alias("text_a"),
+                             F.col("text").alias("text_b")),
+        "text_a", "text_b", k=None,
+    ).count()
+    sec_u, (n_u, chk_u) = timed(lambda: skew_run(False))
+    sec_s, (n_s, chk_s) = timed(lambda: skew_run(True))
+    assert (n_u, chk_u) == (n_s, chk_s), (
+        f"salted output diverged: {(n_u, chk_u)} vs {(n_s, chk_s)}"
+    )
+    skew_res.update({
+        "n_pairs": n_u,
+        "unsalted_sec": round(sec_u, 3),
+        "salted_sec": round(sec_s, 3),
+        "speedup": round(sec_u / sec_s, 2) if sec_s > 0 else None,
+        "outputs_identical": True,
+        "note": ("~30% of docs share one 12-char blocking prefix; "
+                 "salt_threshold=64/shards=8 vs salting disabled, "
+                 "local[8], AQE off; identical (count, dist-checksum). "
+                 "The residual unsalted penalty is the SINGLE-TASK "
+                 "ids-only pair join — by design the expensive scoring "
+                 "stage sits behind the pair-distinct and payload "
+                 "re-attach shuffles, which rebalance on well-spread "
+                 "ids in both configurations, so a hot block cannot "
+                 "pin the payload/kernel work even unsalted; salting "
+                 "removes the remaining quadratic single-task edge."),
+    })
+    sk.stop()
+    extra["skew"] = skew_res
     shutil.rmtree(scratch, ignore_errors=True)
 
     print(json.dumps({

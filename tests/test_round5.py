@@ -1,0 +1,229 @@
+"""Round-5 regression tests: driver-registry budget, cleanse
+single-execution of the dedup stages, no pre-blocking driver action at
+pipeline defaults, and the streaming per-pair-k boundary contract."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_registry_within_driver_window():
+    """The driver verifies at most the first 50 ``queries()`` entries
+    (round 4 registered 60 and the last 10 were silently unchecked).
+    Guard the budget AND that every oracle key is a registered query."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    assert len(qs) <= 50, f"registry outgrew the driver window: {len(qs)}"
+    assert set(m.oracle_sql()) <= set(qs)
+
+
+def test_cleanse_dedup_stages_execute_once(spark):
+    """The exact-dedup join and the near-dedup survivor join must run
+    exactly once per cleanse: input scanned only to materialize the
+    flagged projection (its two join branches), with metric counts AND
+    the caller's consumption of ``res.kept`` served from the persisted
+    frames (round-4 verdict: metrics re-counted the un-persisted
+    lineage and consumption re-executed the joins ~3x)."""
+    from triple_accel_spark.operators.corpus import (
+        CleanseConfig,
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with the hat and the bat"),
+        (2, "the cat sat on the mat with the hat and the bat"),
+        (3, "the cat sat on the mat with the hat and the rat"),
+        (4, "completely different english text about the quick brown fox"),
+    ]
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    df = base.mapInPandas(counted, base.schema)
+    res = prepare_training_corpus(
+        df,
+        cfg=CleanseConfig(
+            min_tokens=5, quality_threshold=0.5, langs=("en",),
+            q=3, num_hashes=32, num_bands=16, jaccard_threshold=0.6,
+        ),
+    )
+    after_build = acc.value
+    # the flagged projection materializes once, scanning the input
+    # through its three join branches (quality/token side + with_lang_id's
+    # ids frame and token frame) — and nothing else touches the input
+    assert after_build == 3 * len(rows)
+    # consuming the result repeatedly must not re-execute anything
+    # upstream of the persisted frames
+    assert {r.doc_id for r in res.kept.collect()} == {1, 4}
+    res.kept.count()
+    assert acc.value == after_build
+    assert res.metrics["n_exact"] == 3  # exact dup (2) dropped
+    assert res.metrics["n_near"] == 2   # near dup (3) dropped
+    res.unpersist()
+
+
+def test_resolve_no_pre_blocking_action_at_defaults(spark, monkeypatch):
+    """At default settings (per-pair k) ``resolve_entities`` must issue
+    NO driver action before blocking: the first action is the fused
+    scored-pairs aggregate (columns n, m), with the docs census
+    deferred to the already-hot cache (round-4 verdict #8/#3)."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base; instances are classic.dataframe.DataFrame)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older Spark
+        from pyspark.sql import DataFrame
+
+    from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+    from triple_accel_spark.sources.transcripts import generate_transcripts
+
+    calls: list[tuple[str, tuple]] = []
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def rec_collect(self):
+        calls.append(("collect", tuple(self.columns)))
+        return orig_collect(self)
+
+    def rec_count(self):
+        calls.append(("count", tuple(self.columns)))
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", rec_collect)
+    monkeypatch.setattr(DataFrame, "count", rec_count)
+
+    tdf, _ = generate_transcripts(n_entities=40, seed=7)
+    t = spark.createDataFrame(tdf)
+    res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
+    assert calls, "no driver actions recorded"
+    kind, cols = calls[0]
+    assert kind == "collect" and set(cols) == {"n", "m"}, (
+        f"first action was {calls[0]}, expected the scored aggregate"
+    )
+    # deferred census still present and correct
+    n_convs = t.select("conv_id").distinct().count()
+    assert res.metrics["n_docs"] == n_convs
+    res.unpersist()
+
+
+def test_ivf_replicated_full_probe_equals_brute_force(spark):
+    """``assign_replicas`` > 1 replicates corpus vectors into multiple
+    buckets; the ids-only dedupe must leave every (query, corpus) pair
+    scored exactly once, so full probe still EQUALS exact brute force
+    (the hash-oracle identity) and no rank is poisoned by duplicates."""
+    from triple_accel_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    dbl = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    qs = dbl.where(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    corpus = dbl.where(F.col("vec_id") >= 8)
+    ivf = ivf_topk(corpus, qs, k=5, n_centroids=16, n_probe=16,
+                   assign_replicas=3)
+    bf = brute_force_topk(corpus, qs, k=5)
+    a = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+    b = {(r.query_id, r.vec_id, r.rank) for r in bf.collect()}
+    assert a == b and len(a) == 40
+
+
+def test_ivf_replicated_recall_not_below_single(spark):
+    """Multi-assignment can only ADD candidates, so recall@k at fixed
+    (n_centroids, n_probe) must be >= the single-assignment recall
+    (the r5 recall lever; measured +0.18 at replicas=2 on the
+    near-uniform testdata)."""
+    from triple_accel_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    dbl = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    qs = dbl.where(F.col("vec_id") < 40).withColumnRenamed("vec_id", "query_id")
+    corpus = dbl.where(F.col("vec_id") >= 40)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(corpus, qs, k=10).collect()}
+
+    def rec(replicas):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(corpus, qs, k=10, n_centroids=32, n_probe=8,
+                              assign_replicas=replicas).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = rec(1), rec(2)
+    assert r2 >= r1
+
+
+def test_stream_assign_boundary_pair_assigned(spark, tmp_path):
+    """A pair whose similarity lands EXACTLY on the threshold must be
+    assigned to the representative, not pre-rejected by the per-pair k
+    bound (ADVICE r4: ceil rounding mirrors relative_k_col). 20-char
+    docs, 2 substitutions past the block prefix, thr=0.9 -> sim = 0.9
+    exactly."""
+    from triple_accel_spark.streaming.incremental import stream_assign_clusters
+
+    rows = [
+        ("c000001", "abcdefghijklmnopqrst", "abcdefghijkl"),
+        ("d000001", "abcdefghijklmnopXYst", "abcdefghijkl"),
+    ]
+    blocked = spark.createDataFrame(
+        rows, "conv_id string, doc string, block_key string"
+    )
+    src = str(tmp_path / "boundary")
+    blocked.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, doc string, block_key string"
+    ).parquet(src)
+    assigned = stream_assign_clusters(stream, sim_threshold=0.9)
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("boundary_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if spark.sql(
+            "select count(*) from boundary_stream"
+        ).collect()[0][0] >= 2:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    got = {
+        r.conv_id: (r.cluster_id, r.sim)
+        for r in spark.sql("select * from boundary_stream").collect()
+    }
+    assert got["c000001"][0] == "c000001"
+    # the boundary pair: distance 2, sim exactly 0.9 >= 0.9 -> inherits
+    assert got["d000001"][0] == "c000001"
+    assert got["d000001"][1] == pytest.approx(0.9)

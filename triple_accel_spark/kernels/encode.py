@@ -96,7 +96,12 @@ def bag_l1(a_mat, a_len, b_mat, b_len) -> np.ndarray:
     O(total chars) via one bincount per side over packed (row, char)
     keys. Basis for edit-distance lower bounds: a substitution changes
     the histogram L1 by at most 2, an insert/delete by at most 1, a
-    transposition by 0."""
+    transposition by 0.
+
+    Requires ZERO-PADDED matrices as produced by ``encode_batch`` (the
+    bin-0 padding correction assumes it); NOT valid on matrices coming
+    out of ``_trim_common``'s no-rebuild path, which shortens lengths
+    without clearing the suffix bytes."""
     n = a_mat.shape[0]
     offsets = np.arange(n, dtype=np.int64) << 8
     # histogram the full padded matrices (no per-row masks), then

@@ -153,6 +153,12 @@ def _trim_common(a_mat, a_len, b_mat, b_len, _block: int = 64):
     wa2 = max(int(na_len.max()), 1)
     wb2 = max(int(nb_len.max()), 1)
     if int(p.max()) == 0 and wa2 > 0.9 * wa and wb2 > 0.9 * wb:
+        # rebuild-skip: returns the ORIGINAL matrices with shortened
+        # lengths, so bytes past the new lengths hold live suffix chars
+        # — the zero-padding invariant documented by encode_batch does
+        # NOT hold on this path. Every current consumer is
+        # length-aware; bag_l1 (which corrects histogram bin 0
+        # assuming zero padding) must only run on pre-trim matrices.
         return a_mat, na_len, b_mat, nb_len
     ca = np.arange(wa2)
     cb = np.arange(wb2)

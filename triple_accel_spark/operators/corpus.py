@@ -131,21 +131,42 @@ def prepare_training_corpus(
     ).collect()[0]
     metrics.update(counts.asDict())
 
+    persisted = [flagged]
     kept = flagged.where(F.col("_pl")).drop("_pv", "_pq", "_pl")
     if cfg.exact_dedup:
-        kept = dedup_exact(kept, text_col, id_col)
-        metrics["n_exact"] = kept.count()
+        # persisted BEFORE near-dedup consumes it, so the exact-dedup
+        # join executes exactly once per cleanse: dedup_near's eager
+        # interior materializes this cache, and every later consumer
+        # (the survivor flag join, the caller's reads of res.kept)
+        # reads from it instead of replaying the join
+        kept = dedup_exact(kept, text_col, id_col).persist()
+        persisted.append(kept)
     if cfg.near_dedup:
         survivors = dedup_near(
             kept.select(id_col, text_col), text_col, id_col,
             q=cfg.q, num_hashes=cfg.num_hashes, num_bands=cfg.num_bands,
             jaccard_threshold=cfg.jaccard_threshold, method=cfg.method,
             max_hamming=cfg.max_hamming, gram_hash=cfg.gram_hash,
-        ).select(id_col)
-        kept = kept.join(survivors, id_col)
-        metrics["n_near"] = kept.count()
-    # flagged stays cached: the returned frame derives from it, so the
-    # caller consumes `kept` then releases via CleanseResult.unpersist
-    # (context-manager form supported) — same contract as ResolveResult
+        ).select(F.col(id_col), F.lit(True).alias("_nd"))
+        # LEFT join keeps every post-exact row with a survivor flag:
+        # ONE persisted frame + ONE action yields both stage counts
+        # (n_exact = all rows, n_near = flagged rows) and backs the
+        # returned `kept`, so the survivor join also runs exactly once
+        flagged_near = kept.join(survivors, id_col, "left").persist()
+        persisted.append(flagged_near)
+        row = flagged_near.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.when(F.col("_nd"), 1)).alias("n_near"),
+        ).collect()[0]
+        if cfg.exact_dedup:
+            metrics["n_exact"] = row["n_exact"]
+        metrics["n_near"] = row["n_near"]
+        kept = flagged_near.where(F.col("_nd")).drop("_nd")
+    elif cfg.exact_dedup:
+        metrics["n_exact"] = kept.count()
+    # the persisted frames stay cached: the returned frame derives from
+    # them, so the caller consumes `kept` then releases via
+    # CleanseResult.unpersist (context-manager form supported) — same
+    # contract as ResolveResult
     return CleanseResult(kept=kept, metrics=metrics,
-                         _persisted_frames=[flagged])
+                         _persisted_frames=persisted)

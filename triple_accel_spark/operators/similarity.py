@@ -492,6 +492,7 @@ def ivf_topk(
     n_probe: int = 8,
     vec_impl: str = "arrow",
     refine_iters: int = 0,
+    assign_replicas: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index — the
     other standard ANN scale path next to sign-LSH: assign every corpus
@@ -511,7 +512,19 @@ def ivf_topk(
     assignment pass + a C x dim averaging collect). A trained codebook
     balances bucket sizes, which raises recall per probe on clustered
     data; on near-uniform data the gain is small — measure (the bench
-    records recall for both)."""
+    records recall for both).
+
+    ``assign_replicas`` > 1 indexes every corpus vector into its top-a
+    nearest buckets instead of one (IVF replication / multi-assignment
+    — the standard recall lever for boundary vectors on weakly
+    clustered data, where single-bucket IVF recall is intrinsically
+    capped). Candidate volume grows by up to ``a`` x (recorded in the
+    bench recall block as the cost multiple). Replicated pairs are
+    deduplicated on an IDS-ONLY frame before exact scoring — the
+    distinct shuffles (query_id, id) pairs, never vectors, and the
+    payloads re-attach via one corpus equi-join plus the broadcast
+    query side — so the full-probe == exact identity holds for any
+    ``assign_replicas``."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     cents = _centroid_matrix(corpus, vec_col, id_col, n_centroids)
@@ -531,17 +544,51 @@ def ivf_topk(
             .withColumn("cosine", F.lit(0.0))
             .withColumn("rank", F.lit(1))
         )
-    nc1 = _nearest_centroids_udf(cents, 1)
     ncp = _nearest_centroids_udf(cents, n_probe)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")).withColumn(
-        "cid", nc1(F.col("cvec")).getItem(0)
-    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("cid", F.explode(ncp(F.col("qvec"))))
-    scored = c.join(F.broadcast(q), "cid").withColumn(
-        "cosine", _cosine("qvec", "cvec", vec_impl)
-    )
+    if assign_replicas <= 1:
+        # single-bucket index: each (query, corpus) pair meets in at
+        # most one bucket, so the bucket join feeds scoring directly
+        nc1 = _nearest_centroids_udf(cents, 1)
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")).withColumn(
+            "cid", nc1(F.col("cvec")).getItem(0)
+        )
+        scored = c.join(F.broadcast(q), "cid").withColumn(
+            "cosine", _cosine("qvec", "cvec", vec_impl)
+        )
+    else:
+        # replicated index: a pair can meet in up to `a` buckets —
+        # dedupe on an ids-only frame (fixed-width shuffle rows), then
+        # re-attach the vectors (corpus equi-join + broadcast queries)
+        # and exact-score each surviving pair exactly once
+        nca = _nearest_centroids_udf(cents, assign_replicas)
+        c_assign = corpus.select(
+            F.col(id_col), F.col(vec_col).alias("cvec")
+        ).withColumn("cid", F.explode(nca(F.col("cvec"))))
+        cand = (
+            c_assign.select("cid", id_col)
+            .join(F.broadcast(q.select("cid", "query_id")), "cid")
+            .select("query_id", id_col)
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                corpus.select(F.col(id_col), F.col(vec_col).alias("cvec")),
+                id_col,
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"),
+                    )
+                ),
+                "query_id",
+            )
+            .withColumn("cosine", _cosine("qvec", "cvec", vec_impl))
+        )
     return topk_per_key(scored, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
     )

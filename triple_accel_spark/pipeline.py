@@ -109,19 +109,26 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
             )
 
     docs = assemble_documents(transcripts).cache()
-    metrics["n_docs"] = docs.count()
     commit(docs, "docs", size_col="doc", id_col="conv_id")
 
     if cfg.per_pair_k:
         # per-pair distance budget (reference per-call k semantics);
-        # no driver action needed
+        # no driver action needed — at default settings the pipeline
+        # issues NO action before blocking (n_docs is taken after the
+        # scoring action, when the docs cache is already hot)
         k = relative_k_col(cfg.sim_threshold, "doc_a", "doc_b")
         metrics["k_cutoff"] = "per_pair"
     else:
         # corpus-global budget: k such that sim_threshold is reachable
         # for the longest docs (the per-pair normalized threshold is
-        # still enforced exactly afterwards)
-        max_len = docs.agg(F.max("doc_len")).collect()[0][0] or 1
+        # still enforced exactly afterwards). The max-length probe is
+        # the ONE pre-blocking action in this mode, fused with the
+        # n_docs census so it is not a separate pass
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_len").alias("m")
+        ).collect()[0]
+        metrics["n_docs"] = row["n"]
+        max_len = row["m"] or 1
         k = max(1, int((1.0 - cfg.sim_threshold) * max_len) + 1)
         metrics["k_cutoff"] = k
 
@@ -157,6 +164,11 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     ).collect()[0]
     metrics["n_pairs_scored"] = row["n"]
     metrics["n_matches"] = row["m"]
+    if "n_docs" not in metrics:
+        # per-pair-k mode deferred the docs census past blocking; the
+        # scoring action just materialized the docs cache, so this is
+        # a cached count, not a second scan
+        metrics["n_docs"] = docs.count()
     commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
     if cfg.metrics_dir:
         # lineage mode pays one extra census pass per stage anyway;

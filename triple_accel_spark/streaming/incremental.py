@@ -16,6 +16,7 @@ stream agree on buckets.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -169,10 +170,14 @@ def stream_assign_clusters(
                     # routes to a new representative regardless of
                     # which one was closest), so the k-bounded call is
                     # semantics-identical and turns on the kernel's
-                    # reject pruning.
+                    # reject pruning. ceil mirrors relative_k_col's
+                    # safe-side rounding: when (1-thr)*L lands exactly
+                    # on an integer boundary in floats, a k at most 1
+                    # larger never pre-rejects a pair whose float sim
+                    # compare below would accept it.
                     ks = np.array(
                         [
-                            int((1.0 - thr) * max(len(doc), len(r), 1) + 1e-9)
+                            math.ceil((1.0 - thr) * max(len(doc), len(r), 1))
                             for r in docs
                         ],
                         dtype=np.int64,
