@@ -180,6 +180,34 @@ def test_ivf_replicated_recall_not_below_single(spark):
     assert r2 >= r1
 
 
+def test_bag_l1_skewed_batch_matches_core():
+    """The length-skewed chunked path of ``bag_l1`` (per-chunk width
+    trim + scatter-back, multiple chunks) must be value-identical to
+    the single-pass core on zero-padded encode_batch output (ADVICE
+    r4: direct lev_batch callers are not chunk-sorted, so one long row
+    amplified the transient int64 footprint to O(n x max_len))."""
+    import numpy as np
+
+    from triple_accel_spark.kernels.encode import (
+        _bag_l1_core,
+        bag_l1,
+        encode_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    rows_a, rows_b = [], []
+    for i in range(5000):  # > one 4096 chunk -> scatter-back order matters
+        la = 3000 if i == 0 else int(rng.randint(1, 20))
+        lb = 2800 if i == 0 else int(rng.randint(1, 20))
+        rows_a.append(bytes(rng.randint(32, 127, la, dtype=np.uint8).tobytes()))
+        rows_b.append(bytes(rng.randint(32, 127, lb, dtype=np.uint8).tobytes()))
+    am, al, _ = encode_batch(rows_a)
+    bm, bl, _ = encode_batch(rows_b)
+    got = bag_l1(am, al, bm, bl)
+    ref = _bag_l1_core(am, al, bm, bl)
+    assert (got == ref).all()
+
+
 def test_stream_assign_boundary_pair_assigned(spark, tmp_path):
     """A pair whose similarity lands EXACTLY on the threshold must be
     assigned to the representative, not pre-rejected by the per-pair k

@@ -91,17 +91,7 @@ def translate_batch(
     return a_mat, a_len, b_mat, b_len, valid
 
 
-def bag_l1(a_mat, a_len, b_mat, b_len) -> np.ndarray:
-    """Per-row L1 distance between the two sides' character histograms.
-    O(total chars) via one bincount per side over packed (row, char)
-    keys. Basis for edit-distance lower bounds: a substitution changes
-    the histogram L1 by at most 2, an insert/delete by at most 1, a
-    transposition by 0.
-
-    Requires ZERO-PADDED matrices as produced by ``encode_batch`` (the
-    bin-0 padding correction assumes it); NOT valid on matrices coming
-    out of ``_trim_common``'s no-rebuild path, which shortens lengths
-    without clearing the suffix bytes."""
+def _bag_l1_core(a_mat, a_len, b_mat, b_len) -> np.ndarray:
     n = a_mat.shape[0]
     offsets = np.arange(n, dtype=np.int64) << 8
     # histogram the full padded matrices (no per-row masks), then
@@ -115,6 +105,43 @@ def bag_l1(a_mat, a_len, b_mat, b_len) -> np.ndarray:
     hb = np.bincount(kb.reshape(-1), minlength=n << 8)
     hb[offsets] -= b_mat.shape[1] - b_len
     return np.abs(ha - hb).reshape(n, 256).sum(axis=1)
+
+
+def bag_l1(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Per-row L1 distance between the two sides' character histograms.
+    O(total chars) via one bincount per side over packed (row, char)
+    keys. Basis for edit-distance lower bounds: a substitution changes
+    the histogram L1 by at most 2, an insert/delete by at most 1, a
+    transposition by 0.
+
+    Requires ZERO-PADDED matrices as produced by ``encode_batch`` (the
+    bin-0 padding correction assumes it); NOT valid on matrices coming
+    out of ``_trim_common``'s no-rebuild path, which shortens lengths
+    without clearing the suffix bytes.
+
+    Length-skewed batches (padded width >> mean length — possible for
+    direct ``lev_batch`` callers like the streaming blocks, which are
+    not `_dist_series`-chunk-sorted) are processed in length-sorted
+    chunks with per-chunk width trim, bounding the transient int64
+    copies to O(chunk x chunk_width) instead of O(n x max_len)."""
+    n = a_mat.shape[0]
+    width = max(a_mat.shape[1], b_mat.shape[1])
+    if n > 64:
+        ml = np.maximum(a_len, b_len)
+        if width > 4 * max(float(ml.mean()), 1.0):
+            order = np.argsort(ml, kind="stable")
+            out = np.empty(n, dtype=np.int64)
+            step = 4096
+            for s in range(0, n, step):
+                idx = order[s:s + step]
+                wa = max(int(a_len[idx].max()), 1)
+                wb = max(int(b_len[idx].max()), 1)
+                out[idx] = _bag_l1_core(
+                    a_mat[idx][:, :wa], a_len[idx],
+                    b_mat[idx][:, :wb], b_len[idx],
+                )
+            return out
+    return _bag_l1_core(a_mat, a_len, b_mat, b_len)
 
 
 def bag_lower_bound(a_mat, a_len, b_mat, b_len) -> np.ndarray:
