@@ -35,10 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from triple_accel_spark.functions import (
+    damerau_levenshtein,
     edit_distance,
     edit_search,
     hamming,
     hamming_search,
+    jaro_sim,
+    jaro_winkler,
     rdamerau,
 )
 from triple_accel_spark.kernels.costs import EditCosts
@@ -505,6 +508,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rdamerau(
                 F.substring("text_a", 1, 30), F.substring("text_b", 1, 30)
             ).cast("long").alias("dist"),
+        )
+
+    def name_similarity_adjacent(spark, sf_dir):
+        # the classic ER name-field comparators the reference lacks
+        # (edit-family only): Jaro, Jaro-Winkler, and UNRESTRICTED
+        # Damerau-Levenshtein, all on natural pairs with DuckDB's OWN
+        # native functions as the oracle (jaro_similarity /
+        # jaro_winkler_similarity / damerau_levenshtein — byte
+        # semantics both sides; the double formula order is pinned in
+        # kernels/jaro.py so repr() hashes agree bit-for-bit). 40-char
+        # prefixes stand in for name-like short fields and bound the
+        # full-DL DP cube.
+        p = _adjacent_doc_pairs(spark, sf_dir)
+        na = F.substring("text_a", 1, 40)
+        nb = F.substring("text_b", 1, 40)
+        return p.select(
+            "id_a", "id_b",
+            jaro_sim(na, nb).alias("jaro"),
+            jaro_winkler(na, nb).alias("jw"),
+            damerau_levenshtein(na, nb).cast("long").alias("ddl"),
         )
 
     def edit_costs_affine_planted(spark, sf_dir):
@@ -1337,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_ppm": media_decode_ppm,
         # -- new this round
         "edit_traceback_natural": edit_traceback_natural,
+        "name_similarity_adjacent": name_similarity_adjacent,
         # -- the stable, every-round-green body
         "doc_assembly": doc_assembly,
         "lev_adjacent": lev_adjacent,
@@ -1576,6 +1600,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    levenshtein(a.text, b.text) AS n_edits
             {_ADJ_SQL} WHERE a.doc_id < 50
+        """,
+        "name_similarity_adjacent": f"""
+            -- DuckDB's NATIVE comparators oracle the whole family:
+            -- jaro/jaro_winkler byte semantics and double op order
+            -- match kernels/jaro.py bit-for-bit; damerau_levenshtein
+            -- is the unrestricted (Lowrance-Wagner) distance, exactly
+            -- kernels/damerau.py
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   jaro_similarity(substr(a.text, 1, 40),
+                                   substr(b.text, 1, 40)) AS jaro,
+                   jaro_winkler_similarity(substr(a.text, 1, 40),
+                                           substr(b.text, 1, 40)) AS jw,
+                   damerau_levenshtein(substr(a.text, 1, 40),
+                                       substr(b.text, 1, 40)) AS ddl
+            {_ADJ_SQL}
         """,
         "edit_traceback_natural": f"""
             -- RUN-LEVEL traceback replay: rebuild the kernel's pointer

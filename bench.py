@@ -112,7 +112,7 @@ def scoring_pairs(docs, fanout: int = None):
 
 
 def run_scoring_stage(spark, docs, k, pairs_df=None, runs: int = 2,
-                      agg: str = "min"):
+                      agg: str = "min", scorer: str = "edit"):
     """Time the scoring stage over a materialized pair frame.
 
     Returns ``(n_pairs, n_scored, stat_sec, all_secs)`` where stat is
@@ -130,12 +130,12 @@ def run_scoring_stage(spark, docs, k, pairs_df=None, runs: int = 2,
     n_pairs = pairs.count()  # materialize: timing below isolates scoring
     # warm the Python worker pool (fork + numpy/pandas import happens
     # once per worker; steady-state throughput is the metric)
-    score_pairs(pairs.limit(200), "doc_a", "doc_b", k=k).count()
+    score_pairs(pairs.limit(200), "doc_a", "doc_b", k=k, scorer=scorer).count()
     secs, n_scored = [], 0
     for _ in range(runs):
         sec, n_scored = timed(
             lambda: score_pairs(pairs, "doc_a", "doc_b", k=k,
-                                sim_threshold=None).count()
+                                sim_threshold=None, scorer=scorer).count()
         )
         secs.append(sec)
     pairs.unpersist()
@@ -202,6 +202,22 @@ def main() -> None:
     pairs_per_sec = n_pairs / sec if sec > 0 else 0.0
     extra["pairs_scored"] = n_pairs
     extra["pairs_per_sec"] = round(pairs_per_sec, 1)
+
+    progress("q9")
+    # q9: the same candidate-pair generator scored with the round-5
+    # Jaro-Winkler comparator (kernels/jaro.py) on 40-char name-like
+    # prefixes — JW's intended field shape (the kernel is O(la*lb) per
+    # pair; long documents stay on the edit-distance kernels)
+    cpus = spark.sparkContext.defaultParallelism
+    pairs9 = scoring_pairs(docs).repartition(cpus * 2).select(
+        F.substring("doc_a", 1, 40).alias("doc_a"),
+        F.substring("doc_b", 1, 40).alias("doc_b"),
+    )
+    n_pairs9, _, sec, _ = run_scoring_stage(
+        spark, docs, None, pairs_df=pairs9, scorer="jaro_winkler"
+    )
+    queries["q9_jw_scoring"] = round(sec, 3)
+    extra["jw_pairs_per_sec"] = round(n_pairs9 / sec, 1) if sec > 0 else 0.0
 
     progress("q2 prep: materialize transcript corpus (untimed)")
     spark.catalog.clearCache()  # drop q1's persisted frames

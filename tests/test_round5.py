@@ -255,3 +255,154 @@ def test_stream_assign_boundary_pair_assigned(spark, tmp_path):
     # the boundary pair: distance 2, sim exactly 0.9 >= 0.9 -> inherits
     assert got["d000001"][0] == "c000001"
     assert got["d000001"][1] == pytest.approx(0.9)
+
+
+def test_jaro_winkler_textbook_vectors():
+    from triple_accel_spark.kernels.jaro import jaro_batch, jaro_scalar
+
+    import numpy as np
+
+    cases = [
+        (b"MARTHA", b"MARHTA", 0.9444444444444445, 0.9611111111111111),
+        (b"DIXON", b"DICKSONX", 0.7666666666666666, 0.8133333333333332),
+        (b"JELLYFISH", b"SMELLYFISH", 0.8962962962962964, 0.8962962962962964),
+        (b"", b"abc", 0.0, 0.0),
+        (b"", b"", 0.0, 0.0),  # DuckDB convention, adopted
+        (b"a", b"a", 1.0, 1.0),
+        (b"ab", b"ba", 0.0, 0.0),  # window 0: no cross-position match
+        # prefix boost capped at 4 even with a 5-char common prefix
+        (b"ABCDEF", b"ABCDEZ", 0.888888888888889, 0.9333333333333333),
+    ]
+    a = np.array([c[0] for c in cases], dtype=object)
+    b = np.array([c[1] for c in cases], dtype=object)
+    j, jw, ok = jaro_batch(a, b)
+    assert ok.all()
+    for i, (ca, cb, ej, ejw) in enumerate(cases):
+        assert repr(j[i]) == repr(ej), (ca, cb, j[i], ej)
+        assert repr(jw[i]) == repr(ejw)
+        sj, sjw = jaro_scalar(ca, cb)
+        assert repr(sj) == repr(ej) and repr(sjw) == repr(ejw)
+
+
+def test_jaro_and_dl_batch_match_scalar_random():
+    """Batch kernels == scalar oracles bit-for-bit over random pairs,
+    including empties and a long outlier that forces the length-sorted
+    chunk + scatter-back path."""
+    import numpy as np
+
+    from triple_accel_spark.kernels.damerau import dl_batch, dl_scalar
+    from triple_accel_spark.kernels.jaro import jaro_batch, jaro_scalar
+
+    rng = np.random.RandomState(11)
+    rows_a, rows_b = [b"x" * 400], [b"y" * 380]  # chunk-splitting outlier
+    for _ in range(400):
+        la, lb = int(rng.randint(0, 30)), int(rng.randint(0, 30))
+        rows_a.append(bytes(rng.randint(97, 105, la, dtype=np.uint8).tobytes()))
+        rows_b.append(bytes(rng.randint(97, 105, lb, dtype=np.uint8).tobytes()))
+    a = np.array(rows_a, dtype=object)
+    b = np.array(rows_b, dtype=object)
+    j, jw, ok = jaro_batch(a, b)
+    d, okd = dl_batch(a, b)
+    assert ok.all() and okd.all()
+    for i in range(len(rows_a)):
+        sj, sjw = jaro_scalar(rows_a[i], rows_b[i])
+        assert repr(j[i]) == repr(sj) and repr(jw[i]) == repr(sjw)
+        assert d[i] == dl_scalar(rows_a[i], rows_b[i])
+
+
+def test_unrestricted_dl_below_osa_on_edited_transposition():
+    """'CA' -> 'ABC' is the canonical unrestricted-vs-OSA separator:
+    full DL = 2 (transpose CA->AC, then insert B INSIDE the transposed
+    pair — legal only in the unrestricted distance), OSA = 3."""
+    import numpy as np
+
+    from triple_accel_spark.kernels.banded import lev_batch
+    from triple_accel_spark.kernels.costs import RDAMERAU_COSTS
+    from triple_accel_spark.kernels.damerau import dl_batch, dl_scalar
+
+    a = np.array([b"CA"], dtype=object)
+    b = np.array([b"ABC"], dtype=object)
+    d, ok = dl_batch(a, b)
+    assert ok[0] and d[0] == 2
+    assert dl_scalar(b"CA", b"ABC") == 2
+    osa, ok2, _ = lev_batch(a, b, None, RDAMERAU_COSTS)
+    assert ok2[0] and osa[0] == 3
+
+
+def test_jaro_winkler_dl_columns_null_policy(spark):
+    from triple_accel_spark.functions import (
+        damerau_levenshtein,
+        jaro_winkler,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "MARTHA", "MARHTA"), (2, None, "x"), (3, "x", None)],
+        ["id", "a", "b"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            jaro_winkler("a", "b").alias("jw"),
+            damerau_levenshtein("a", "b").alias("ddl"),
+        ).collect()
+    }
+    assert repr(rows[1]["jw"]) == repr(0.9611111111111111)
+    assert rows[1]["ddl"] == 1
+    assert rows[2]["jw"] is None and rows[2]["ddl"] is None
+    assert rows[3]["jw"] is None and rows[3]["ddl"] is None
+
+
+def test_jw_length_bound_sound():
+    """The length-ratio prune must NEVER drop a pair whose true JW
+    reaches the threshold (soundness; completeness is not claimed)."""
+    import numpy as np
+
+    from triple_accel_spark.kernels.jaro import jaro_scalar
+
+    rng = np.random.RandomState(3)
+    for _ in range(3000):
+        la, lb = int(rng.randint(0, 25)), int(rng.randint(0, 25))
+        a = bytes(rng.randint(97, 101, la, dtype=np.uint8).tobytes())
+        b = bytes(rng.randint(97, 101, lb, dtype=np.uint8).tobytes())
+        _, jw = jaro_scalar(a, b)
+        for thr in (0.82, 0.9, 0.95):
+            r = min(la, lb) / max(la, lb, 1)
+            pruned = r < 5.0 * thr - 4.0 - 1e-9
+            if pruned:
+                assert jw < thr, (a, b, jw, thr)
+
+
+def test_link_records_jaro_winkler_scorer(spark):
+    """Two-table linkage under the JW scorer: sims equal the scalar
+    comparator, dist is NULL, and the best-per-right assignment picks
+    the JW-max partner deterministically."""
+    from triple_accel_spark.kernels.jaro import jaro_scalar
+    from triple_accel_spark.operators.linkage import LinkConfig, link_records
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "jonathon smith"), (3, "martha jones")],
+        ["id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan smith jr"), (11, "marhta jones")], ["id", "text"]
+    )
+    cfg = LinkConfig(
+        blocking="prefix", prefix_len=2, sim_threshold=0.8,
+        scorer="jaro_winkler",
+    )
+    res = link_records(left, right, cfg=cfg)
+    texts = {1: "jonathan smith", 2: "jonathon smith", 3: "martha jones",
+             10: "jonathan smith jr", 11: "marhta jones"}
+    for row in res.pairs_scored.collect():
+        _, exp = jaro_scalar(
+            texts[row["id_l"]].encode(), texts[row["id_r"]].encode()
+        )
+        assert repr(row["sim"]) == repr(exp)
+        assert row["dist"] is None
+    best = {r["id_r"]: r["id_l"] for r in res.best.collect()}
+    # 10 blocks with 1 and 2 ("jo"); jw(jonathan smith, ...jr) >
+    # jw(jonathon smith, ...jr); 11 blocks with 3 ("ma")
+    assert best[10] == 1
+    assert best[11] == 3
+    res.unpersist()

@@ -397,3 +397,64 @@ def length_prefilter(
         return F.abs(F.length(a) - F.length(b)) <= unit_k
     unit_k = max(k - costs.start_gap_cost, 0) // costs.gap_cost
     return F.abs(F.length(a) - F.length(b)) <= F.lit(unit_k)
+
+
+def jaro_winkler(a, b) -> Column:
+    """Jaro-Winkler similarity (double in [0, 1]) on UTF-8 bytes — the
+    conventional name-field comparator for record linkage (ER-graft
+    extension; the reference ships edit-family distances only). NULL
+    where an input is NULL. Semantics pinned bit-for-bit to DuckDB's
+    ``jaro_winkler_similarity`` (kernels/jaro.py has the spec); Winkler
+    boost only above jaro 0.7, prefix capped at 4."""
+    from triple_accel_spark.kernels.jaro import jaro_batch
+
+    @pandas_udf("double")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        _, jw, ok = jaro_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
+        return pd.Series(np.where(ok, jw, np.nan))
+
+    return _udf.asNondeterministic()(a, b)
+
+
+def jaro_sim(a, b) -> Column:
+    """Plain Jaro similarity (no Winkler prefix boost); see
+    ``jaro_winkler``."""
+    from triple_accel_spark.kernels.jaro import jaro_batch
+
+    @pandas_udf("double")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        j, _, ok = jaro_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
+        return pd.Series(np.where(ok, j, np.nan))
+
+    return _udf.asNondeterministic()(a, b)
+
+
+def damerau_levenshtein(a, b) -> Column:
+    """UNRESTRICTED Damerau-Levenshtein distance (Lowrance-Wagner) on
+    UTF-8 bytes — completes the family next to the reference's
+    restricted OSA ``rdamerau`` (levenshtein.rs:1419-1423 implements
+    OSA only). O(la*lb) full DP with a per-chunk (n, la+2, lb+2) cube:
+    intended for short name-like fields; the banded OSA kernel remains
+    the long-document scale path. NULL where an input is NULL."""
+    from triple_accel_spark.kernels.damerau import dl_batch
+
+    @pandas_udf("long")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        d, ok = dl_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
+        return pd.Series(np.where(ok, d.astype(float), np.nan))
+
+    return _udf.asNondeterministic()(a, b)
+
+
+def jw_length_bound(a, b, threshold: float) -> Column:
+    """Catalyst-native prune for Jaro-Winkler thresholds, the analogue
+    of ``length_prefilter`` for the edit family. From m <= min(la, lb):
+    jaro <= (2 + min/max) / 3, and the Winkler boost (prefix <= 4)
+    lifts any j to at most 0.6*j + 0.4, so
+    ``jw <= 0.8 + 0.2 * min(la,lb)/max(la,lb)`` — a pair can only reach
+    ``threshold`` when the length ratio is >= 5*threshold - 4 (binding
+    only for thresholds above 0.8). A 1e-9 slack keeps rounding-
+    boundary pairs (ADVICE r4: prefilters round toward keeping)."""
+    lo = F.least(F.length(a), F.length(b)).cast("double")
+    hi = F.greatest(F.length(a), F.length(b), F.lit(1)).cast("double")
+    return lo / hi >= F.lit(5.0 * threshold - 4.0 - 1e-9)

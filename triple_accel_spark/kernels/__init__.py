@@ -9,6 +9,10 @@
                OSA transpositions, k cutoff, traceback).
 ``search``     batch semi-global alignment search with match-length
                tie-breaking (All/Best/anchored).
+``jaro``       batch Jaro / Jaro-Winkler name-field similarity
+               (ER-graft extension; DuckDB-oracled bit-for-bit).
+``damerau``    batch UNRESTRICTED Damerau-Levenshtein (the reference
+               ships restricted/OSA only).
 """
 
 from triple_accel_spark.kernels.costs import (  # noqa: F401

@@ -202,6 +202,10 @@ class LinkConfig:
     sim_threshold: float = 0.88
     per_pair_k: bool = True
     costs: EditCosts = field(default_factory=lambda: LEVENSHTEIN_COSTS)
+    # "edit" (normalized edit similarity, k-prunable) or "jaro_winkler"
+    # (the name-field comparator; per-pair k does not apply — the
+    # Catalyst-native prune becomes the JW length-ratio bound)
+    scorer: str = "edit"
     max_block_pairs: int | None = 1_000_000
     salt_threshold: int = 4096
     salt_shards: int = 8
@@ -270,15 +274,34 @@ def link_records(
         # with per-pair k the scoring stage filters on exactly this
         # bound anyway (length_prefilter + relative_k_col), so the
         # early prune is a pure plan optimization; without per-pair k
-        # the caller wants every candidate scored — skip it
-        prune_threshold=cfg.sim_threshold if cfg.per_pair_k else None,
-        prune_text_col=text_col if cfg.per_pair_k else None,
+        # the caller wants every candidate scored — skip it. The prune
+        # bound is edit-distance-specific: under the jaro_winkler
+        # scorer it stays off and jw_length_bound prunes at scoring.
+        prune_threshold=(
+            cfg.sim_threshold
+            if cfg.per_pair_k and cfg.scorer == "edit"
+            else None
+        ),
+        prune_text_col=(
+            text_col if cfg.per_pair_k and cfg.scorer == "edit" else None
+        ),
         prune_costs=cfg.costs,
     )
     tl, tr = f"{text_col}_l", f"{text_col}_r"
-    k = relative_k_col(cfg.sim_threshold, tl, tr) if cfg.per_pair_k else None
+    k = (
+        relative_k_col(cfg.sim_threshold, tl, tr)
+        if cfg.per_pair_k and cfg.scorer == "edit"
+        else None
+    )
     scored = score_pairs(
-        pairs, tl, tr, k=k, costs=cfg.costs, sim_threshold=None
+        pairs, tl, tr, k=k, costs=cfg.costs, sim_threshold=None,
+        scorer=cfg.scorer,
+        # mirror the edit path's threshold-implied prune (there, k
+        # NULLs out beyond-budget pairs even with the final filter
+        # deferred): bound JW candidates by the length-ratio prune
+        prune_threshold=(
+            cfg.sim_threshold if cfg.scorer == "jaro_winkler" else None
+        ),
     ).cache()
     row = scored.agg(
         F.count(F.lit(1)).alias("n"),
@@ -346,7 +369,7 @@ def assign_to_clusters(
             sim_threshold=cfg.sim_threshold, per_pair_k=cfg.per_pair_k,
             costs=cfg.costs, max_block_pairs=cfg.max_block_pairs,
             salt_threshold=cfg.salt_threshold, salt_shards=cfg.salt_shards,
-            best_per="right",
+            best_per="right", scorer=cfg.scorer,
         ),
     )
     labels = clustered.select(

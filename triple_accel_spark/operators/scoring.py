@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from triple_accel_spark.functions import edit_distance, length_prefilter
+from triple_accel_spark.functions import (
+    edit_distance,
+    jaro_winkler,
+    jw_length_bound,
+    length_prefilter,
+)
 from triple_accel_spark.kernels.costs import EditCosts, LEVENSHTEIN_COSTS
 
 
@@ -26,6 +31,8 @@ def score_pairs(
     sim_threshold: float | None = None,
     dist_col: str = "dist",
     sim_col: str = "sim",
+    scorer: str = "edit",
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """Add ``dist`` (NULL-pruned at ``k``) and ``sim`` columns; filter
     to ``sim >= sim_threshold`` if given.
@@ -34,7 +41,29 @@ def score_pairs(
     ``relative_k_col(tau, text_a, text_b)``) — both the Catalyst-native
     length prefilter and the kernel band tighten per pair, so fewer
     rows cross the Arrow exchange and bands stay narrow regardless of
-    corpus length outliers."""
+    corpus length outliers.
+
+    ``scorer="jaro_winkler"`` swaps the similarity for the name-field
+    comparator: ``sim`` = Jaro-Winkler, ``dist`` = NULL (JW has no
+    distance form; downstream tie-breaks fall through to ids), ``k``/
+    ``costs`` unused, and the Catalyst-native prune becomes the JW
+    length-ratio bound (``jw_length_bound``) at ``sim_threshold`` — or
+    at ``prune_threshold`` when the caller defers the final sim filter
+    (the prune is sound, so pruned-then-kept is impossible)."""
+    if scorer == "jaro_winkler":
+        df = pairs
+        thr = sim_threshold if sim_threshold is not None else prune_threshold
+        if thr is not None:
+            df = df.where(jw_length_bound(text_a, text_b, thr))
+        df = df.withColumn(
+            sim_col, jaro_winkler(F.col(text_a), F.col(text_b))
+        ).where(F.col(sim_col).isNotNull())
+        df = df.withColumn(dist_col, F.lit(None).cast("long"))
+        if sim_threshold is not None:
+            df = df.where(F.col(sim_col) >= sim_threshold)
+        return df
+    if scorer != "edit":
+        raise ValueError(f"unknown scorer: {scorer!r}")
     df = pairs
     if k is not None:
         df = df.where(length_prefilter(text_a, text_b, k, costs))
