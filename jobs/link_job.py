@@ -38,7 +38,6 @@ def main() -> None:
     p.add_argument("--synth", type=int, default=200)
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from triple_accel_spark.operators.linkage import (
@@ -47,8 +46,9 @@ def main() -> None:
         link_records,
     )
 
-    spark = SparkSession.builder.appName("triple_accel_spark.link").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from triple_accel_spark.session import get_submit_session
+
+    spark = get_submit_session("triple_accel_spark.link")
 
     if args.left and args.right:
         left = spark.read.parquet(args.left)

@@ -38,12 +38,10 @@ def main() -> None:
     p.add_argument("--synth", type=int, default=200)
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from triple_accel_spark.pipeline import ResolveConfig, resolve_entities
+    from triple_accel_spark.session import get_submit_session
 
-    spark = SparkSession.builder.appName("triple_accel_spark.resolve").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark = get_submit_session("triple_accel_spark.resolve")
 
     if args.input:
         from triple_accel_spark.sources.transcripts import load_transcripts
@@ -65,7 +63,9 @@ def main() -> None:
             run_id=args.run_id,
         ),
     )
+    t_w = time.time()
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.metrics["t_write"] = round(time.time() - t_w, 3)
     res.metrics["wall_sec"] = round(time.time() - t0, 3)
     with open(f"{args.output}/metrics.json", "w") as f:
         json.dump(res.metrics, f, indent=2)

@@ -99,6 +99,9 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     a driver-side metrics dict (stage row counts)."""
     cfg = cfg or ResolveConfig()
     metrics: dict = {}
+    import time as _time
+
+    _t0 = _time.time()
 
     def commit(df, stage, **kw):
         if cfg.metrics_dir:
@@ -164,6 +167,11 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     ).collect()[0]
     metrics["n_pairs_scored"] = row["n"]
     metrics["n_matches"] = row["m"]
+    # stage wall times (driver action boundaries): scaling diagnostics
+    # — which stage stops scaling with cores shows up here, not in
+    # the end-to-end wall alone
+    metrics["t_score_action"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
     if "n_docs" not in metrics:
         # per-pair-k mode deferred the docs census past blocking; the
         # scoring action just materialized the docs cache, so this is
@@ -206,6 +214,8 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
             checkpoint_interval=cfg.cc_checkpoint_interval,
         )
         metrics["cc_path"] = "distributed"
+    metrics["t_cc_label"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
     clusters = attach_singletons(labels, docs, "conv_id").cache()
     crow = clusters.agg(
         F.count(F.lit(1)).alias("n"),
@@ -213,6 +223,7 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     ).collect()[0]
     metrics["n_records"] = crow["n"]
     metrics["n_clusters"] = crow["c"]
+    metrics["t_cluster_action"] = round(_time.time() - _t0, 3)
     commit(clusters, "clusters", id_col="id")
 
     return ResolveResult(docs, scored, matches, clusters, metrics)
