@@ -406,3 +406,31 @@ def test_link_records_jaro_winkler_scorer(spark):
     assert best[10] == 1
     assert best[11] == 3
     res.unpersist()
+
+
+def test_dl_metric_axioms_and_bounds():
+    """Unrestricted DL is a true metric (unlike OSA): identity,
+    symmetry, triangle inequality; and it is sandwiched between the
+    length difference and plain Levenshtein."""
+    import numpy as np
+
+    from triple_accel_spark.kernels.damerau import dl_scalar
+    from triple_accel_spark.kernels.myers import myers_batch
+
+    rng = np.random.RandomState(23)
+    strs = [
+        bytes(rng.randint(97, 100, int(rng.randint(0, 9)), dtype=np.uint8).tobytes())
+        for _ in range(60)
+    ]
+    import itertools
+
+    for a, b, c in itertools.islice(itertools.combinations(strs, 3), 1500):
+        dab = dl_scalar(a, b)
+        assert dab == dl_scalar(b, a)
+        assert dl_scalar(a, a) == 0
+        assert dab >= abs(len(a) - len(b))
+        lev, ok = myers_batch(
+            np.array([a], dtype=object), np.array([b], dtype=object), None
+        )
+        assert ok[0] and dab <= lev[0]
+        assert dab <= dl_scalar(a, c) + dl_scalar(c, b)
