@@ -16,8 +16,56 @@ explode — no shuffle until the pair join groups by block key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# rebalance guard (see rebalance_small_scan): only scans whose TOTAL
+# bytes are below cores * this are worth an extra shuffle — the point
+# is unlocking idle cores on tiny inputs, not moving big corpora twice
+_REBALANCE_MAX_BYTES_PER_CORE = 8 << 20
+
+
+def rebalance_small_scan(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism for SMALL file scans feeding
+    explode-amplified operators (q-gram/token explodes multiply row
+    counts ~1000x, so a one-split scan serializes minutes of downstream
+    work on one core — guide §2.5 input skew: repartition right after
+    the read).
+
+    Strictly conditional so the 100 TB path is untouched: returns
+    ``df`` unchanged unless the frame reads fewer files than the
+    cluster has cores AND every file is local AND the total size is
+    under ``cores * 8 MB`` (the rebalancing shuffle then costs
+    milliseconds). Any probe failure — remote storage, streaming
+    frames, no file source — leaves the plan alone. The keyless
+    ``repartition`` is round-robin with Spark's default
+    sort-before-repartition, so retries stay deterministic, and every
+    caller aggregates with partition-order-insensitive functions
+    (min / count / bit_xor / distinct), so results are identical."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if not files or len(files) >= p:
+        return df
+    total = 0
+    for uri in files:
+        if uri.startswith("file://"):
+            path = uri[len("file://"):]
+        elif uri.startswith("file:"):
+            path = uri[len("file:"):]
+        else:
+            return df
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    if total > p * _REBALANCE_MAX_BYTES_PER_CORE:
+        return df
+    return df.repartition(p)
 
 
 def normalized_text(col, lowercase: bool = True) -> Column:
@@ -148,8 +196,10 @@ def minhash_band_table(
     norm = normalized_text(text_col, lowercase)
     # NULL policy: a NULL document yields no band keys (it cannot be
     # blocked or matched) — enforced identically in the expr path
-    base = df.select(F.col(id_col).alias("_mid"), norm.alias("_t")).where(
-        F.col("_t").isNotNull()
+    base = rebalance_small_scan(
+        df.select(F.col(id_col).alias("_mid"), norm.alias("_t")).where(
+            F.col("_t").isNotNull()
+        )
     )
     grams = exploded_gram_rows(base, "_mid", "_t", q)
     sig = grams.groupBy("_mid").agg(

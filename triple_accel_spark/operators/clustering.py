@@ -22,41 +22,59 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's neighborhood
-    minimum (including u itself)."""
-    bid = edges.select(F.col("u"), F.col("v")).union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mins = bid.groupBy("u").agg(F.min("v").alias("mv"))
-    mins = mins.withColumn("m", F.least(F.col("mv"), F.col("u"))).drop("mv")
+    minimum (including u itself).
+
+    Plan shape (round-6 rewrite): the per-node minimum is a window over
+    the SAME partitioning the old groupBy+join pair needed three
+    exchanges for (guide §2.4 — operations keyed alike share one
+    exchange), and both edge directions come from one explode instead
+    of a union that scanned the edge RDD twice. One shuffle per star
+    pass; output identical. The output is NOT deduplicated here: the
+    following ``_small_star`` dedupes its own output, so a round stays
+    distinct while saving one exchange per round (duplicate (v, m)
+    rows only thicken the next window's input marginally)."""
+    w = Window.partitionBy("u")
+    bid = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.a").alias("u"), F.col("_e.b").alias("v"))
     return (
-        bid.join(mins, "u")
+        bid.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Within each node's smaller-or-equal neighborhood, point everything
-    at the minimum."""
+    at the minimum.
+
+    Same one-exchange window form as ``_large_star``; the (u, m)
+    self-rows the old formulation emitted once per node via the
+    ``mins`` frame are emitted once per edge row here and collapsed by
+    the final ``distinct`` (which the round needs anyway), so the
+    output set is identical."""
+    w = Window.partitionBy("u")
     dir_e = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = dir_e.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        dir_e.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select(F.col("u"), F.col("m").alias("v")))
-        .where(F.col("u") != F.col("v"))
+    r = dir_e.withColumn("m", F.min("v").over(w))
+    return (
+        r.select(F.explode(F.array("v", "u")).alias("n"), "m")
+        .where(F.col("n") != F.col("m"))
         .distinct()
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
     )
-    return out
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:

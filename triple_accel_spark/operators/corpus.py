@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from triple_accel_spark.operators.blocking import rebalance_small_scan
 from triple_accel_spark.operators.dedup import dedup_exact, dedup_near
 from triple_accel_spark.operators.text import (
     quality_features,
@@ -96,6 +97,12 @@ def prepare_training_corpus(
     rows")."""
     cfg = cfg or CleanseConfig()
     metrics: dict = {}
+
+    # one conditional rebalance of the narrow projection feeds every
+    # row-local stage: the quality regexes and token counts otherwise
+    # run inside a one-split scan stage on tiny inputs (serial wall;
+    # no-op at scale — see rebalance_small_scan)
+    docs = rebalance_small_scan(docs.select(F.col(id_col), F.col(text_col)))
 
     annotated = quality_features(
         docs.select(F.col(id_col), F.col(text_col)), text_col

@@ -37,6 +37,7 @@ from triple_accel_spark.operators.blocking import (
     gram_hash_expr,
     normalized_text,
     qgrams,
+    rebalance_small_scan,
 )
 from triple_accel_spark.operators.pairs import candidate_pairs
 
@@ -137,8 +138,10 @@ def minhash_lsh_duplicates(
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
     norm = normalized_text(text_col)
-    base = df.select(F.col(id_col).alias("rid"), norm.alias("_t")).where(
-        F.col("_t").isNotNull()
+    base = rebalance_small_scan(
+        df.select(F.col(id_col).alias("rid"), norm.alias("_t")).where(
+            F.col("_t").isNotNull()
+        )
     )
     gram_rows = exploded_gram_rows(base, "rid", "_t", q)
     # distinct hashed gram set as ROWS (rid, gh): reused for set sizes
@@ -386,8 +389,10 @@ def with_simhash(
     sketch; left-join the result if NULL-doc ids must be carried.
     """
     norm = normalized_text(text_col)
-    base = df.select(F.col(id_col).alias("_sid"), norm.alias("_t")).where(
-        F.col("_t").isNotNull()
+    base = rebalance_small_scan(
+        df.select(F.col(id_col).alias("_sid"), norm.alias("_t")).where(
+            F.col("_t").isNotNull()
+        )
     )
     gram_rows = exploded_gram_rows(base, "_sid", "_t", q).select(
         "_sid", _gram_hash_expr(F.col("_g"), gram_hash).alias("_h")

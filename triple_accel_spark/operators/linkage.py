@@ -56,6 +56,8 @@ def candidate_links(
     prune_threshold: float | None = None,
     prune_text_col: str | None = None,
     prune_costs: EditCosts = LEVENSHTEIN_COSTS,
+    payload_left: DataFrame | None = None,
+    payload_right: DataFrame | None = None,
 ) -> DataFrame:
     """Join left x right records sharing a block key into candidate
     links: one row per (left, right) pair — ``id_l, id_r,
@@ -79,18 +81,28 @@ def candidate_links(
     shuffle and the payload joins entirely.
 
     Persist lifecycle: the per-side projections (feeding the size
-    census, the join, and the payload re-attach) are persisted and
-    exposed as ``result._persisted_frames`` for callers that
-    materialize the pairs to release.
+    census, the join, and — without ``payload_left``/``payload_right``
+    — the payload re-attach) are persisted and exposed as
+    ``result._persisted_frames`` for callers that materialize the pairs
+    to release.
+
+    ``payload_left``/``payload_right`` (round-6): one-row-per-id frames
+    carrying ``(id_col, payload_cols...)`` — normally the caller's raw
+    input tables. When given, payloads re-attach from them directly and
+    the per-side ``groupBy(rid).first(...)`` dedup aggregations (one
+    full pass over each band table) are skipped; results are identical
+    because the blocked payloads are the same attributes repeated per
+    band.
     """
     prune = prune_threshold is not None and prune_text_col is not None
+    ext_payloads = payload_left is not None and payload_right is not None
     sides = []
     persisted = []
     for side, blocked in (("l", blocked_left), ("r", blocked_right)):
         cols = [
             F.col(id_col).alias("rid"),
             F.col(block_col).alias("bk"),
-            *[F.col(c) for c in payload_cols],
+            *([] if ext_payloads else [F.col(c) for c in payload_cols]),
         ]
         if prune:
             cols.append(F.length(prune_text_col).alias("_len"))
@@ -99,12 +111,23 @@ def candidate_links(
         sides.append(base)
     left, right = sides
 
-    # per-block candidate volume |L_b| * |R_b|: one aggregation per
-    # side, joined (both frames are (bk, n) — AQE broadcasts them)
-    lsz = left.groupBy("bk").agg(F.count(F.lit(1)).alias("lsz"))
-    rsz = right.groupBy("bk").agg(F.count(F.lit(1)).alias("rsz"))
-    vol = lsz.join(rsz, "bk").select(
-        "bk", (F.col("lsz") * F.col("rsz")).alias("vol")
+    # per-block candidate volume |L_b| * |R_b| from ONE aggregation
+    # over the tagged union of both sides (round-6: the former
+    # per-side aggs + inner join cost two extra shuffles/barriers for
+    # the same numbers; blocks missing on a side have a zero count and
+    # are dropped by the > 0 filter exactly as the inner join dropped
+    # them)
+    tagged = left.select("bk", F.lit(1).alias("_l")).unionByName(
+        right.select("bk", F.lit(0).alias("_l"))
+    )
+    vol = (
+        tagged.groupBy("bk")
+        .agg(
+            F.sum("_l").alias("lsz"),
+            F.sum(F.lit(1) - F.col("_l")).alias("rsz"),
+        )
+        .where((F.col("lsz") > 0) & (F.col("rsz") > 0))
+        .select("bk", (F.col("lsz") * F.col("rsz")).alias("vol"))
     )
     if max_block_pairs is not None:
         vol = vol.where(F.col("vol") <= max_block_pairs)
@@ -165,18 +188,28 @@ def candidate_links(
         pairs = pairs.distinct()
 
     if payload_cols:
-        pl = left.groupBy("rid").agg(
-            *[F.first(c).alias(c) for c in payload_cols]
-        ).select(
-            F.col("rid").alias("id_l"),
-            *[F.col(c).alias(f"{c}_l") for c in payload_cols],
-        )
-        pr = right.groupBy("rid").agg(
-            *[F.first(c).alias(c) for c in payload_cols]
-        ).select(
-            F.col("rid").alias("id_r"),
-            *[F.col(c).alias(f"{c}_r") for c in payload_cols],
-        )
+        if ext_payloads:
+            pl = payload_left.select(
+                F.col(id_col).alias("id_l"),
+                *[F.col(c).alias(f"{c}_l") for c in payload_cols],
+            )
+            pr = payload_right.select(
+                F.col(id_col).alias("id_r"),
+                *[F.col(c).alias(f"{c}_r") for c in payload_cols],
+            )
+        else:
+            pl = left.groupBy("rid").agg(
+                *[F.first(c).alias(c) for c in payload_cols]
+            ).select(
+                F.col("rid").alias("id_l"),
+                *[F.col(c).alias(f"{c}_l") for c in payload_cols],
+            )
+            pr = right.groupBy("rid").agg(
+                *[F.first(c).alias(c) for c in payload_cols]
+            ).select(
+                F.col("rid").alias("id_r"),
+                *[F.col(c).alias(f"{c}_r") for c in payload_cols],
+            )
         pairs = (
             pairs.join(pl, "id_l")
             .join(pr, "id_r")
@@ -268,6 +301,10 @@ def link_records(
         id_col=id_col,
         block_col="block_key",
         payload_cols=(text_col,),
+        # raw inputs are one row per id, so payloads re-attach from
+        # them directly (skips one groupBy-dedup pass per side)
+        payload_left=left,
+        payload_right=right,
         max_block_pairs=cfg.max_block_pairs,
         salt_threshold=cfg.salt_threshold,
         salt_shards=cfg.salt_shards,

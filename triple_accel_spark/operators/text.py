@@ -25,6 +25,7 @@ from triple_accel_spark.operators.blocking import (
     exploded_gram_rows,
     gram_hash_expr,
     qgrams,
+    rebalance_small_scan,
 )
 
 _WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -121,11 +122,17 @@ def with_lang_id(
     predictions are identical to the Column form (asserted in tests).
     Docs with no hits — including empty/NULL text — surface as
     ``und`` via the left join back to the id frame."""
-    ids = df.select(F.col(id_col).alias("_lid"))
-    toks = df.select(
-        F.col(id_col).alias("_lid"),
+    # rebalanced ONCE and shared: the token explode multiplies rows
+    # ~100x, so a one-split scan serializes the count stage (see
+    # rebalance_small_scan); ids prunes _lt at the scan either way
+    base = rebalance_small_scan(
+        df.select(F.col(id_col).alias("_lid"), F.col(text_col).alias("_lt"))
+    )
+    ids = base.select("_lid")
+    toks = base.select(
+        "_lid",
         F.explode(
-            F.split(F.lower(F.col(text_col)), r"[^a-zà-ÿ]+")
+            F.split(F.lower(F.col("_lt")), r"[^a-zà-ÿ]+")
         ).alias("_tok"),
     )
     counts = toks.groupBy("_lid").agg(
@@ -198,9 +205,11 @@ def with_fingerprint(
     NULL policy: NULL-text rows yield no fingerprint row (a NULL doc
     has no content to fingerprint); left-join if ids must be carried.
     """
-    base = df.select(
-        F.col(id_col).alias("_fid"), F.col(text_col).alias("_t")
-    ).where(F.col("_t").isNotNull())
+    base = rebalance_small_scan(
+        df.select(
+            F.col(id_col).alias("_fid"), F.col(text_col).alias("_t")
+        ).where(F.col("_t").isNotNull())
+    )
     gram_rows = exploded_gram_rows(base, "_fid", "_t", q, index_alias="_idx")
     h = gram_hash_expr(F.col("_g"), gram_hash, salt=F.col("_idx"))
     return (
