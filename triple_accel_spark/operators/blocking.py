@@ -193,14 +193,16 @@ def minhash_band_table(
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
-    norm = normalized_text(text_col, lowercase)
     # NULL policy: a NULL document yields no band keys (it cannot be
-    # blocked or matched) — enforced identically in the expr path
-    base = rebalance_small_scan(
-        df.select(F.col(id_col).alias("_mid"), norm.alias("_t")).where(
-            F.col("_t").isNotNull()
-        )
+    # blocked or matched) — enforced identically in the expr path.
+    # Rebalance the RAW projection and normalize AFTER it, so the regex
+    # normalization runs post-shuffle instead of inside a one-task scan
+    raw = rebalance_small_scan(
+        df.select(F.col(id_col).alias("_mid"), F.col(text_col).alias("_raw"))
     )
+    base = raw.select(
+        "_mid", normalized_text("_raw", lowercase).alias("_t")
+    ).where(F.col("_t").isNotNull())
     grams = exploded_gram_rows(base, "_mid", "_t", q)
     sig = grams.groupBy("_mid").agg(
         *[

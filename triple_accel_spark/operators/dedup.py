@@ -137,11 +137,14 @@ def minhash_lsh_duplicates(
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     band_size = num_hashes // num_bands
-    norm = normalized_text(text_col)
-    base = rebalance_small_scan(
-        df.select(F.col(id_col).alias("rid"), norm.alias("_t")).where(
-            F.col("_t").isNotNull()
-        )
+    # rebalance the RAW projection, normalize after: the regex
+    # normalization otherwise evaluates inside the (possibly one-task)
+    # scan stage, serializing it before the shuffle spreads the rows
+    raw = rebalance_small_scan(
+        df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("_raw"))
+    )
+    base = raw.select("rid", normalized_text("_raw").alias("_t")).where(
+        F.col("_t").isNotNull()
     )
     gram_rows = exploded_gram_rows(base, "rid", "_t", q)
     # distinct hashed gram set as ROWS (rid, gh): reused for set sizes
@@ -213,8 +216,19 @@ def minhash_lsh_duplicates(
     # turns you raise partitions, never the per-partition build set.
     ga = gset.select(F.col("rid").alias("id_a"), "gh").hint("shuffle_hash")
     gb = gset.select(F.col("rid").alias("id_b"), "gh").hint("shuffle_hash")
+    # round-6: pin the first counting join's parallelism. Its INPUTS are
+    # small (pairs + gram rows) so AQE coalesces the exchange by input
+    # bytes, but its OUTPUT is the pairs x grams-of-A explosion (~200x)
+    # — measured: 10 post-coalesce tasks owned a 50M-row join on a
+    # 32-core box. The explicit keyed repartition satisfies the join's
+    # distribution requirement (so it REPLACES the implicit exchange,
+    # adding none) while its fixed partition count is exempt from AQE
+    # coalescing; 2x defaultParallelism is cluster-proportional, not a
+    # local constant.
+    n_spine = cand.sparkSession.sparkContext.defaultParallelism * 2
     out = (
         cand.select("id_a", "id_b", "ng_a", "ng_b")
+        .repartition(n_spine, "id_a")
         .join(ga, "id_a")
         .join(gb, ["id_b", "gh"])
         .groupBy("id_a", "id_b", "ng_a", "ng_b")
@@ -388,11 +402,11 @@ def with_simhash(
     yield no fingerprint row — a NULL document has no content to
     sketch; left-join the result if NULL-doc ids must be carried.
     """
-    norm = normalized_text(text_col)
-    base = rebalance_small_scan(
-        df.select(F.col(id_col).alias("_sid"), norm.alias("_t")).where(
-            F.col("_t").isNotNull()
-        )
+    raw = rebalance_small_scan(
+        df.select(F.col(id_col).alias("_sid"), F.col(text_col).alias("_raw"))
+    )
+    base = raw.select("_sid", normalized_text("_raw").alias("_t")).where(
+        F.col("_t").isNotNull()
     )
     gram_rows = exploded_gram_rows(base, "_sid", "_t", q).select(
         "_sid", _gram_hash_expr(F.col("_g"), gram_hash).alias("_h")

@@ -41,14 +41,20 @@ STOPWORDS = {
 def token_count(text_col, mode: str = "regex") -> Column:
     """Token count: ``whitespace`` splits on runs of whitespace;
     ``regex`` counts word/number/punctuation units (BPE-ish pre-token
-    boundary approximation)."""
+    boundary approximation).
+
+    Round-6: counts come from ``regexp_count`` instead of materializing
+    every token into an array just to take its size — one regex scan,
+    no per-token allocation, same counts (``split`` on trimmed text
+    yields separators+1 pieces; NULL in -> NULL out either way under
+    ANSI)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     if mode == "whitespace":
         trimmed = F.trim(c)
         return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-            F.size(F.split(trimmed, r"\s+"))
+            F.regexp_count(trimmed, F.lit(r"\s+")) + F.lit(1)
         )
-    return F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), F.lit(0)))
+    return F.regexp_count(c, F.lit(_WORD_RE))
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -57,15 +63,27 @@ def _ratio(num: Column, den: Column) -> Column:
     )
 
 
+_ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_SPACE_CHARS = " \t\n\x0b\f\r"  # exactly Java regex \s
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-signal columns + a composite ``quality_score`` in
-    [0, 1] (heuristic weights; each signal is independently usable)."""
+    [0, 1] (heuristic weights; each signal is independently usable).
+
+    Round-6: the four character-class counts come from ``translate``
+    (codegen lookup-table char deletion) instead of four full
+    ``regexp_replace`` passes that built a stripped copy of every
+    document per class — measured 52 CPU-s -> single-digit CPU-s on the
+    5k-doc bench corpus, counts identical (``_SPACE_CHARS`` is exactly
+    the Java regex ``\\s`` class, and alpha/digit/space/other partition
+    the alphabet, so ``punct`` is the remainder)."""
     c = F.col(text_col)
     n = F.length(c)
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
-    space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    alpha = n - F.length(F.translate(c, _ALPHA_CHARS, ""))
+    digit = n - F.length(F.translate(c, "0123456789", ""))
+    space = n - F.length(F.translate(c, _SPACE_CHARS, ""))
+    punct = n - alpha - digit - space
     words = token_count(text_col, "whitespace")
     uniq_words = F.size(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
     out = (
@@ -135,6 +153,14 @@ def with_lang_id(
             F.split(F.lower(F.col("_lt")), r"[^a-zà-ÿ]+")
         ).alias("_tok"),
     )
+    # round-6: one hash-set membership test (isin over the union list
+    # compiles to InSet above 10 items) drops every non-stopword token
+    # BEFORE the per-language conditional counts, which previously ran
+    # four 10-way string-compare chains over every token. Docs with no
+    # hits lose their counts row; the left join + coalesce(0) below
+    # already maps that to 'und', so predictions are identical.
+    all_stopwords = sorted({w for ws in STOPWORDS.values() for w in ws})
+    toks = toks.where(F.col("_tok").isin(all_stopwords))
     counts = toks.groupBy("_lid").agg(
         *[
             F.count(F.when(F.col("_tok").isin(words), 1)).alias(f"_h_{lang}")
