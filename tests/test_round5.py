@@ -373,6 +373,27 @@ def test_jw_length_bound_sound():
                 assert jw < thr, (a, b, jw, thr)
 
 
+def test_jw_length_bound_sound_multibyte(spark):
+    """Round-6 (ADVICE r5): the bound must be computed in BYTE units,
+    the units the kernel scores. 'ααααα' vs 'ααααα'+'x'*10 has byte-JW
+    exactly 0.9 but CHAR length ratio 5/15 = 0.33 < 0.5; a char-based
+    bound at threshold 0.9 wrongly pruned it."""
+    from triple_accel_spark.functions import jaro_winkler, jw_length_bound
+    from triple_accel_spark.kernels.jaro import jaro_scalar
+
+    a, b = "ααααα", "ααααα" + "x" * 10
+    _, jw = jaro_scalar(a.encode(), b.encode())
+    assert abs(jw - 0.9) < 1e-12
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    rows = df.select(
+        jw_length_bound("a", "b", 0.9).alias("kept"),
+        jaro_winkler("a", "b").alias("jw"),
+    ).collect()
+    # byte ratio 10/20 = 0.5 >= 5*0.9-4: the pair must survive the prune
+    assert rows[0]["kept"] is True
+    assert abs(rows[0]["jw"] - 0.9) < 1e-12
+
+
 def test_link_records_jaro_winkler_scorer(spark):
     """Two-table linkage under the JW scorer: sims equal the scalar
     comparator, dist is NULL, and the best-per-right assignment picks

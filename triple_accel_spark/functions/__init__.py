@@ -454,7 +454,13 @@ def jw_length_bound(a, b, threshold: float) -> Column:
     ``jw <= 0.8 + 0.2 * min(la,lb)/max(la,lb)`` — a pair can only reach
     ``threshold`` when the length ratio is >= 5*threshold - 4 (binding
     only for thresholds above 0.8). A 1e-9 slack keeps rounding-
-    boundary pairs (ADVICE r4: prefilters round toward keeping)."""
-    lo = F.least(F.length(a), F.length(b)).cast("double")
-    hi = F.greatest(F.length(a), F.length(b), F.lit(1)).cast("double")
+    boundary pairs (ADVICE r4: prefilters round toward keeping).
+
+    Lengths are OCTET lengths (round-6, ADVICE r5): the kernel scores
+    UTF-8 BYTES, so the bound must be computed in the same units —
+    ``F.length`` counts characters, and on multibyte text the char
+    ratio can sit far below the byte ratio, wrongly pruning a pair
+    whose byte-JW meets the threshold."""
+    lo = F.least(F.octet_length(a), F.octet_length(b)).cast("double")
+    hi = F.greatest(F.octet_length(a), F.octet_length(b), F.lit(1)).cast("double")
     return lo / hi >= F.lit(5.0 * threshold - 4.0 - 1e-9)

@@ -155,6 +155,10 @@ def minhash_lsh_duplicates(
         .distinct()
         .persist()
     )
+    # eager for the same reason as candidate_pairs' base: three
+    # downstream branches (sizes, signatures, verify) race the cold
+    # cache and re-run the corpus gram explode concurrently otherwise
+    gset.count()
     sizes = gset.groupBy("rid").agg(F.count(F.lit(1)).alias("ng"))
     # minhash signature from the persisted DISTINCT gram table: min
     # over the set equals min over the multiset, and re-hashing the

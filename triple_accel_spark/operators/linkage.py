@@ -107,6 +107,10 @@ def candidate_links(
         if prune:
             cols.append(F.length(prune_text_col).alias("_len"))
         base = blocked.select(*cols).persist()
+        # eager: the volume census and both join roles fan out into
+        # concurrent cold-cache branches otherwise (see
+        # pairs.candidate_pairs)
+        base.count()
         persisted.append(base)
         sides.append(base)
     left, right = sides

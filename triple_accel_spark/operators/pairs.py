@@ -70,6 +70,14 @@ def candidate_pairs(
         F.col(block_col).alias("bk"),
         *[F.col(c) for c in payload_cols],
     ).persist()
+    # round-6: materialize the cache EAGERLY. The consumers below fan
+    # out into concurrent AQE stages, and Spark's block-level cache does
+    # not serialize concurrent cold computes — profiled runs showed the
+    # whole blocking lineage evaluated 2-4x in racing branches ("Block
+    # rdd_X already exists" churn). One cheap count pins the cache warm
+    # before the fan-out; the pass itself is work every consumer needed
+    # anyway.
+    base.count()
     persisted = [base]
     recs = base.select("rid", "bk")
     payloads = None

@@ -646,6 +646,10 @@ def lsh_all_pairs_topk(
     on the testdata embeddings."""
     from triple_accel_spark.operators.pairs import candidate_pairs
 
+    # NOTE(round-6): rebalance_small_scan was tried here and reverted —
+    # the eager dimension probe plus the added exchange below the
+    # candidate persist cost more than the one-task bucket stage saved
+    # (A/B: 3.59s vs 5.1-5.7s on the q4b bench line).
     base = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("rid"), F.col(vec_col).alias("vec")
     )

@@ -56,6 +56,9 @@ def get_spark(
     return spark
 
 
+_SUBMIT_SENTINEL = ("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+
 def get_submit_session(app_name: str) -> SparkSession:
     """Session for spark-submit entry points: applies the ENGINE
     defaults (Arrow batch size, Kryo, AQE knobs, UTC) but never the
@@ -64,7 +67,15 @@ def get_submit_session(app_name: str) -> SparkSession:
     ``--master``/``--conf`` so cluster geometry is the deployer's.
     Without this, submit jobs ran on stock defaults (10k-row Arrow
     batches, Java serializer) while the in-process harness ran tuned —
-    a measured ~15% scoring-exchange gap at 32 workers."""
+    a measured ~15% scoring-exchange gap at 32 workers.
+
+    ``getOrCreate`` silently IGNORES every ``.config()`` when a session
+    already exists in the process (pyspark shell, notebooks, test
+    harnesses), so the tuned conf would silently not apply (ADVICE r5).
+    A sentinel conf is checked after creation and a warning logged when
+    a pre-existing session won the race; this function must be the
+    first session creator in the process for the engine defaults to
+    hold."""
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -77,5 +88,17 @@ def get_submit_session(app_name: str) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
     )
     spark = b.getOrCreate()
+    key, want = _SUBMIT_SENTINEL
+    got = spark.conf.get(key, None)
+    if got != want:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "get_submit_session: a SparkSession already existed in this "
+            "process, so the engine-tuned conf was NOT applied "
+            "(%s=%r, expected %r). Create the session via "
+            "get_submit_session FIRST, or pass the engine conf through "
+            "spark-submit --conf.", key, got, want,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
