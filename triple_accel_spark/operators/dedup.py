@@ -230,14 +230,19 @@ def minhash_lsh_duplicates(
     # coalescing; 2x defaultParallelism is cluster-proportional, not a
     # local constant.
     n_spine = cand.sparkSession.sparkContext.defaultParallelism * 2
+    # the spine carries ONE precomputed size column (ng_a + ng_b)
+    # instead of both: 8 fewer bytes per exploded row and a narrower
+    # partial-aggregation key; union = ngs - inter is the same integer
     out = (
-        cand.select("id_a", "id_b", "ng_a", "ng_b")
+        cand.select(
+            "id_a", "id_b", (F.col("ng_a") + F.col("ng_b")).alias("_ngs")
+        )
         .repartition(n_spine, "id_a")
         .join(ga, "id_a")
         .join(gb, ["id_b", "gh"])
-        .groupBy("id_a", "id_b", "ng_a", "ng_b")
+        .groupBy("id_a", "id_b", "_ngs")
         .agg(F.count(F.lit(1)).alias("_i"))
-        .withColumn("_u", F.col("ng_a") + F.col("ng_b") - F.col("_i"))
+        .withColumn("_u", F.col("_ngs") - F.col("_i"))
         .withColumn(
             "jaccard", F.col("_i").cast("double") / F.col("_u").cast("double")
         )

@@ -68,6 +68,10 @@ def topk_per_key(
     identical to the single-window rank, including the deterministic
     ``(order desc, tiebreak asc)`` tie-break."""
     salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(salt_buckets))
+    # NOTE(round-6): an explicit repartition pin of this exchange was
+    # tried and reverted — A/B showed the fixed-count exchange costing
+    # more than AQE's byte-based coalescing here (q4b 3.5 -> 4.1s,
+    # q4c 5.6-7.3 -> 7.7s).
     w1 = Window.partitionBy(F.col(key_col), salt).orderBy(
         F.desc(order_col), F.asc(tiebreak_col)
     )

@@ -115,10 +115,15 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     commit(docs, "docs", size_col="doc", id_col="conv_id")
 
     if cfg.per_pair_k:
-        # per-pair distance budget (reference per-call k semantics);
-        # no driver action needed — at default settings the pipeline
-        # issues NO action before blocking (n_docs is taken after the
-        # scoring action, when the docs cache is already hot)
+        # per-pair distance budget (reference per-call k semantics).
+        # Round-6: the docs cache is materialized HERE (one count, which
+        # also provides the n_docs metric) — blocking, the candidate
+        # machinery and the payload re-attach all fan out from `docs`,
+        # and with a cold cache those concurrent branches each re-ran
+        # the assemble aggregation (profiled: 4 duplicate evaluations
+        # inside one pipeline run; Spark's block cache does not
+        # serialize concurrent cold computes).
+        metrics["n_docs"] = docs.count()
         k = relative_k_col(cfg.sim_threshold, "doc_a", "doc_b")
         metrics["k_cutoff"] = "per_pair"
     else:
@@ -173,9 +178,6 @@ def resolve_entities(transcripts: DataFrame, cfg: ResolveConfig | None = None) -
     metrics["t_score_action"] = round(_time.time() - _t0, 3)
     _t0 = _time.time()
     if "n_docs" not in metrics:
-        # per-pair-k mode deferred the docs census past blocking; the
-        # scoring action just materialized the docs cache, so this is
-        # a cached count, not a second scan
         metrics["n_docs"] = docs.count()
     commit(scored, "pairs_scored", size_col="doc_a", id_col="id_a")
     if cfg.metrics_dir:
