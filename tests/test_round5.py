@@ -73,10 +73,16 @@ def test_cleanse_dedup_stages_execute_once(spark):
 
 
 def test_resolve_no_pre_blocking_action_at_defaults(spark, monkeypatch):
-    """At default settings (per-pair k) ``resolve_entities`` must issue
-    NO driver action before blocking: the first action is the fused
-    scored-pairs aggregate (columns n, m), with the docs census
-    deferred to the already-hot cache (round-4 verdict #8/#3)."""
+    """At default settings (per-pair k) ``resolve_entities`` issues
+    exactly ONE driver action before the fused scored-pairs aggregate:
+    the docs census ``count()``, which eagerly materializes the docs
+    cache before blocking/candidates/payload branches fan out from it
+    (round-6: Spark's block cache does not serialize concurrent cold
+    computes, so a lazy cache re-ran the assemble aggregation up to 4x
+    in racing AQE branches). The round-4 rule this replaces ("no
+    pre-blocking action") guarded against a REDUNDANT pass; the census
+    pass is work every consumer needed anyway and is fused with the
+    n_docs metric."""
     # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
     # abstract base; instances are classic.dataframe.DataFrame)
     try:
@@ -105,11 +111,25 @@ def test_resolve_no_pre_blocking_action_at_defaults(spark, monkeypatch):
     t = spark.createDataFrame(tdf)
     res = resolve_entities(t, ResolveConfig(sim_threshold=0.88))
     assert calls, "no driver actions recorded"
+    # action 1: the eager docs-census count (cache pin + n_docs metric)
     kind, cols = calls[0]
-    assert kind == "collect" and set(cols) == {"n", "m"}, (
-        f"first action was {calls[0]}, expected the scored aggregate"
+    assert kind == "count" and "conv_id" in cols and "doc" in cols, (
+        f"first action was {calls[0]}, expected the docs census count"
     )
-    # deferred census still present and correct
+    # action 2: candidate_pairs' eager pin of its projected base cache
+    # (same round-6 rationale — it fans out into the size census, both
+    # join roles and the payload frame)
+    kind, cols = calls[1]
+    assert kind == "count" and set(cols) == {"rid", "bk", "doc"}, (
+        f"second action was {calls[1]}, expected the candidate base pin"
+    )
+    # the first COLLECT is the fused scored-pairs aggregate — no other
+    # action may sneak in between the pins and it
+    kind, cols = calls[2]
+    assert kind == "collect" and set(cols) == {"n", "m"}, (
+        f"third action was {calls[2]}, expected the scored aggregate"
+    )
+    # census present and correct
     n_convs = t.select("conv_id").distinct().count()
     assert res.metrics["n_docs"] == n_convs
     res.unpersist()
