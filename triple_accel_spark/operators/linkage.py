@@ -188,8 +188,14 @@ def candidate_links(
         F.col("rid_l").alias("id_l"), F.col("rid_r").alias("id_r")
     )
     if dedupe:
-        # a pair found by several bands must be scored once
-        pairs = pairs.distinct()
+        # a pair found by several bands must be scored once.
+        # round-6: keyed repartition pins the dedupe exchange's
+        # parallelism (same rationale and measurement as
+        # pairs.candidate_pairs — AQE coalesced the 16 B/row ids-only
+        # exchange to 1-2 partitions and the downstream payload attach
+        # + scoring kernel inherited the starvation).
+        n_out = pairs.sparkSession.sparkContext.defaultParallelism
+        pairs = pairs.repartition(n_out, "id_l", "id_r").dropDuplicates()
 
     if payload_cols:
         if ext_payloads:

@@ -143,8 +143,21 @@ def candidate_pairs(
 
     if dedupe:
         # a pair found by several bands must be scored once — the
-        # distinct shuffles (id_a, id_b) rows only
-        pairs = pairs.distinct()
+        # distinct shuffles (id_a, id_b) rows only.
+        # round-6: pin the dedupe exchange's parallelism with a keyed
+        # repartition. The ids-only rows are tiny (16 B/pair), so AQE's
+        # byte-based coalescing collapsed this exchange to 1-2
+        # partitions — and the payload re-attach (broadcast joins) plus
+        # the caller's kernel UDF inherit that near-serial partitioning
+        # (measured: link_records scoring 17.9-21.9s starved vs
+        # 9.3-16.0s pinned on 1.58M pairs; defaultParallelism beat 2x
+        # and unpinned across the q4b/q8 shapes in alternating A/Bs and
+        # is neutral on the small q2 shape). The keyed repartition
+        # satisfies the distinct's distribution requirement, so it
+        # REPLACES the implicit exchange rather than adding one; the
+        # count is cluster-proportional, not a local constant.
+        n_out = blocked.sparkSession.sparkContext.defaultParallelism
+        pairs = pairs.repartition(n_out, "id_a", "id_b").dropDuplicates()
 
     if payloads is not None:
         pa = payloads.select(
