@@ -113,7 +113,22 @@ def _to_matrix(v: pd.Series, dim: int | None = None) -> tuple[np.ndarray, np.nda
     length when not given); invalid rows stack as zeros and are masked.
     This is what keeps one NULL or ragged embedding row from crashing a
     whole-corpus Arrow batch (``np.array(list(v))`` on mixed lengths
-    builds an object array and the einsum throws)."""
+    builds an object array and the einsum throws).
+
+    Round-6: the common all-valid batch takes ONE ``np.vstack`` over
+    the Arrow views (C-level copy) — the per-row Python assignment loop
+    ran per batch element and dominated the cosine stage's profile
+    (millions of pair rows per corpus pass, each carrying two vectors);
+    ``vstack`` raises on any NULL or ragged row, which routes exactly
+    the dirty batches to the masked slow path with identical results."""
+    arr = v.to_numpy()
+    try:
+        mat = np.vstack(arr).astype(np.float64, copy=False)
+        if dim is not None and mat.shape[1] != dim:
+            raise ValueError("dim mismatch")
+        return mat, np.ones(len(arr), dtype=bool)
+    except Exception:
+        pass
     rows = [None if r is None else np.asarray(r, dtype=np.float64) for r in v]
     if dim is None:
         dim = next((int(r.size) for r in rows if r is not None), 0)
@@ -688,13 +703,29 @@ def lsh_all_pairs_topk(
         max_block_size=max_block_size,
     )
     scored = pairs.withColumn("cosine", _cosine("vec_a", "vec_b", vec_impl))
+    # round-6: expand each unordered pair into both directions with ONE
+    # explode over the already-computed cosine attribute. The previous
+    # two-branch union referenced `scored` twice, duplicating the whole
+    # candidate-join + cosine-UDF subtree in the plan — the distinct,
+    # payload attach and Arrow cosine each executed twice per corpus
+    # pass (the UDF is nondeterministic, so Catalyst cannot collapse
+    # the copies). Row set is identical.
     both = scored.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias(id_col), "cosine"
-    ).union(
-        scored.select(
-            F.col("id_b").alias("query_id"), F.col("id_a").alias(id_col), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias(id_col),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("query_id"),
+                    F.col("id_a").alias(id_col),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.*")
     out = topk_per_key(both, "query_id", k, tiebreak_col=id_col).select(
         "query_id", id_col, "cosine", "rank"
     )
